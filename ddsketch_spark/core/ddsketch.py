@@ -1,0 +1,585 @@
+"""DDSketch — relative-error quantile sketch, vectorized numpy kernel.
+
+Semantics match the reference tvondra/ddsketch (PostgreSQL extension) exactly,
+re-expressed as a batch/Arrow-friendly Python class instead of a row-at-a-time
+C aggregate:
+
+- mapping params: ``gamma = (1+alpha)/(1-alpha)``,
+  ``multiplier = log(2)/log1p(2*alpha/(1-alpha))`` (== 1/log2(gamma)),
+  ``min_indexable = DBL_MIN*gamma``, ``max_indexable = DBL_MAX/gamma``
+  (reference ddsketch.c:935-940).
+- index mapping: ``index = ceil(log(v)/log(2) * multiplier)`` — NOTE ceil, not
+  the paper's floor; bucket i covers ``(gamma^(i-1), gamma^i]``
+  (ddsketch.c:3135-3168).
+- representative value: ``gamma^index * 2/(1+gamma)`` (ddsketch.c:3180-3184).
+- three stores: negative buckets (sorted by index DESC), a zero-bucket counter
+  for ``|v| <= min_indexable``, positive buckets (sorted ASC)
+  (ddsketch.c:53-66, 796-821).
+- quantile: lower-quantile convention, ``goal = q*(count-1)``, strict ``>``
+  stop, no interpolation (ddsketch.c:462-523).
+- rank_of: count strictly-below + half the matching bucket (integer halving),
+  divided by ``count-1`` (ddsketch.c:545-620).
+- trimmed sum/avg: reference-parity positive-domain semantics
+  (ddsketch.c:3687-3757; correct only for all-positive data — documented
+  reference quirk, its tests only exercise positive values).
+- merge: index-wise integer count sum; requires equal alpha
+  (ddsketch.c:1309-1433, 2343-2345); associative + commutative
+  bucket-for-bucket.
+- serialization: the reference's binary wire layout (``ddsketch_send``,
+  ddsketch.c:3004-3030) as the canonical bytes, and its text format
+  (``ddsketch_out``/``ddsketch_in``, ddsketch.c:2651-2868) with the same
+  validation failures.
+
+Extension beyond the reference (SURVEY §7.0): ``on_overflow='collapse'``
+implements UDDSketch-style uniform collapse (gamma -> gamma^2,
+alpha -> 2*alpha/(1+alpha^2), index -> ceil(index/2)) instead of the
+reference's hard error (ddsketch.c:727-731).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+import sys
+from typing import Iterable, Sequence
+
+import numpy as np
+
+MIN_SKETCH_ALPHA = 0.0001   # ddsketch.c:321-322
+MAX_SKETCH_ALPHA = 0.1
+MIN_SKETCH_BUCKETS = 16     # ddsketch.c:324-325
+MAX_SKETCH_BUCKETS = 32768
+
+_DBL_MIN = sys.float_info.min
+_DBL_MAX = sys.float_info.max
+_LOG2 = math.log(2.0)
+
+_HEADER = struct.Struct(">iqqdiii")   # flags, count, zero_count, alpha, maxbuckets, nbuckets, nbuckets_negative
+_BUCKET = struct.Struct(">iq")        # index, count
+_BUCKET_DT = np.dtype([("index", ">i4"), ("count", ">i8")])
+
+
+def validate_alpha(alpha: float) -> None:
+    if not (MIN_SKETCH_ALPHA <= alpha <= MAX_SKETCH_ALPHA):
+        raise ValueError(
+            f"alpha value {alpha} not in supported range "
+            f"[{MIN_SKETCH_ALPHA}, {MAX_SKETCH_ALPHA}]"
+        )
+
+
+def validate_nbuckets(nbuckets: int) -> None:
+    if not (MIN_SKETCH_BUCKETS <= nbuckets <= MAX_SKETCH_BUCKETS):
+        raise ValueError(
+            f"number of buckets {nbuckets} not in supported range "
+            f"[{MIN_SKETCH_BUCKETS}, {MAX_SKETCH_BUCKETS}]"
+        )
+
+
+def validate_quantiles(qs: Sequence[float]) -> None:
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"invalid percentile value {q}, should be in [0.0, 1.0]")
+
+
+def validate_trim(low: float, high: float) -> None:
+    # ddsketch.c:997-1011
+    if low < 0.0 or high > 1.0 or low >= high:
+        raise ValueError(
+            f"invalid trim range [{low}, {high}]: need 0 <= low < high <= 1"
+        )
+
+
+def mapping_params(alpha: float) -> tuple[float, float, float, float]:
+    """(gamma, multiplier, min_indexable, max_indexable) — ddsketch.c:935-940."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    multiplier = _LOG2 / math.log1p(2.0 * alpha / (1.0 - alpha))
+    return gamma, multiplier, _DBL_MIN * gamma, _DBL_MAX / gamma
+
+
+def map_index(values: np.ndarray, multiplier: float) -> np.ndarray:
+    """Vectorized ``ceil(log(v)/log(2) * multiplier)`` — ddsketch.c:3164-3168.
+
+    ``values`` must be strictly positive.
+    """
+    return np.ceil(np.log(values) / _LOG2 * multiplier).astype(np.int64)
+
+
+def map_value(indexes: np.ndarray, gamma: float, multiplier: float) -> np.ndarray:
+    """Representative value ``gamma^index * 2/(1+gamma)`` — ddsketch.c:3180-3184."""
+    return np.power(2.0, np.asarray(indexes, dtype=np.float64) / multiplier) * (
+        2.0 / (1.0 + gamma)
+    )
+
+
+def map_lower_bound(alpha: float, index) -> float:
+    """``gamma^(index-1)`` via the reference's exp/log formulation — ddsketch.c:3147-3155."""
+    multiplier = _LOG2 / math.log1p(2.0 * alpha / (1.0 - alpha))
+    return math.exp(_LOG2 * (float(index) - 1.0) / multiplier)
+
+
+def map_upper_bound(alpha: float, index) -> float:
+    return map_lower_bound(alpha, index + 1)
+
+
+class DDSketch:
+    """Mergeable DDSketch accumulator with vectorized batch updates.
+
+    Stores are plain ``dict[int, int]`` (mapping index -> count); the sorted
+    array forms required by quantile/rank/trim/serde are materialized on
+    demand. All bucket counts are Python ints, so merge is exactly
+    associative and commutative.
+    """
+
+    __slots__ = (
+        "alpha", "maxbuckets", "count", "zero_count", "neg", "pos",
+        "gamma", "multiplier", "min_indexable", "max_indexable", "on_overflow",
+    )
+
+    def __init__(self, alpha: float = 0.01, maxbuckets: int = 2048,
+                 on_overflow: str = "error"):
+        validate_alpha(alpha)
+        validate_nbuckets(maxbuckets)
+        if on_overflow not in ("error", "collapse"):
+            raise ValueError("on_overflow must be 'error' or 'collapse'")
+        self.alpha = float(alpha)
+        self.maxbuckets = int(maxbuckets)
+        self.on_overflow = on_overflow
+        self.count = 0
+        self.zero_count = 0
+        self.neg: dict[int, int] = {}
+        self.pos: dict[int, int] = {}
+        self._set_params()
+
+    def _set_params(self) -> None:
+        self.gamma, self.multiplier, self.min_indexable, self.max_indexable = (
+            mapping_params(self.alpha)
+        )
+
+    # ------------------------------------------------------------------ update
+
+    def update(self, values, counts=None) -> "DDSketch":
+        """Add a batch of values (optionally weighted). NaNs are skipped
+        (the reference skips SQL NULLs, ddsketch.c:1029-1039); weights must
+        be > 0 (ddsketch.c:1153-1155 — enforced uniformly, including the
+        array-percentile variant where the reference forgets it,
+        ddsketch.c:1733-1738)."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        if counts is None:
+            keep = ~np.isnan(v)
+            v = v[keep]
+            c = None
+        else:
+            c = np.asarray(counts, dtype=np.float64).ravel()
+            if c.shape != v.shape:
+                raise ValueError("values and counts must have the same length")
+            # NULL count => 1 (ddsketch.c:1148-1151)
+            c = np.where(np.isnan(c), 1.0, c)
+            keep = ~np.isnan(v)
+            v, c = v[keep], c[keep]
+            if np.any(c <= 0):
+                raise ValueError("count value for the ddsketch must be a positive integer")
+            c = c.astype(np.int64)
+        if v.size == 0:
+            return self
+
+        pos_mask = v > self.min_indexable
+        neg_mask = v < -self.min_indexable
+        zero_mask = ~(pos_mask | neg_mask)
+
+        if c is None:
+            self.count += int(v.size)
+            self.zero_count += int(np.count_nonzero(zero_mask))
+        else:
+            self.count += int(c.sum())
+            self.zero_count += int(c[zero_mask].sum())
+
+        for mask, store, sign in ((pos_mask, self.pos, 1.0), (neg_mask, self.neg, -1.0)):
+            if not mask.any():
+                continue
+            idx = map_index(sign * v[mask], self.multiplier)
+            if c is None:
+                ui, uc = np.unique(idx, return_counts=True)
+            else:
+                ui, inv = np.unique(idx, return_inverse=True)
+                uc = np.zeros(ui.size, dtype=np.int64)
+                np.add.at(uc, inv, c[mask])
+            for i, n in zip(ui.tolist(), uc.tolist()):
+                store[i] = store.get(i, 0) + n
+
+        self._enforce_maxbuckets()
+        return self
+
+    def add(self, value: float, count: int = 1) -> "DDSketch":
+        """Single-value insert (reference ddsketch_add, ddsketch.c:796-821)."""
+        if count <= 0:
+            raise ValueError("count value for the ddsketch must be a positive integer")
+        self.update(np.array([value]), np.array([count]))
+        return self
+
+    def _enforce_maxbuckets(self) -> None:
+        while len(self.neg) + len(self.pos) > self.maxbuckets:
+            if self.on_overflow == "error":
+                # ddsketch.c:727-731
+                raise ValueError(
+                    f"bucket overflow (used {len(self.neg) + len(self.pos)}, "
+                    f"max {self.maxbuckets})"
+                )
+            self._collapse()
+
+    def _collapse(self) -> None:
+        """UDDSketch uniform collapse: halve resolution (gamma -> gamma^2)."""
+        self.alpha = 2.0 * self.alpha / (1.0 + self.alpha * self.alpha)
+        self._set_params()
+        for name in ("neg", "pos"):
+            old = getattr(self, name)
+            new: dict[int, int] = {}
+            for i, n in old.items():
+                j = (i + 1) // 2  # ceil(i/2): old (g^(i-1), g^i] within new (g^(2j-2), g^(2j)]
+                new[j] = new.get(j, 0) + n
+            setattr(self, name, new)
+
+    # ------------------------------------------------------------------ merge
+
+    def merge(self, other: "DDSketch") -> "DDSketch":
+        """In-place merge. Requires equal alpha (ddsketch.c:2343-2345:
+        "can't merge sketches with different alpha values")."""
+        if other.count == 0:
+            return self
+        if self.count == 0 and not self.neg and not self.pos:
+            # adopt other's params wholesale (NULL-state combine, ddsketch.c:2324-2338)
+            self.alpha = other.alpha
+            self._set_params()
+        if self.alpha != other.alpha:
+            raise ValueError("can't merge sketches with different alpha values")
+        self.maxbuckets = max(self.maxbuckets, other.maxbuckets)
+        for name in ("neg", "pos"):
+            mine, theirs = getattr(self, name), getattr(other, name)
+            for i, n in theirs.items():
+                mine[i] = mine.get(i, 0) + n
+        self.count += other.count
+        self.zero_count += other.zero_count
+        self._enforce_maxbuckets()
+        return self
+
+    def copy(self) -> "DDSketch":
+        s = DDSketch(self.alpha, self.maxbuckets, self.on_overflow)
+        s.count, s.zero_count = self.count, self.zero_count
+        s.neg, s.pos = dict(self.neg), dict(self.pos)
+        return s
+
+    # ------------------------------------------------------------------ stores
+
+    def _neg_sorted(self) -> tuple[list[int], list[int]]:
+        """Negative store in reference order: index DESC (ddsketch.c:53-59)."""
+        items = sorted(self.neg.items(), key=lambda kv: -kv[0])
+        return [i for i, _ in items], [n for _, n in items]
+
+    def _pos_sorted(self) -> tuple[list[int], list[int]]:
+        items = sorted(self.pos.items())
+        return [i for i, _ in items], [n for _, n in items]
+
+    # ------------------------------------------------------------------ queries
+
+    def quantile(self, qs) -> np.ndarray:
+        """Lower-quantile walk — ddsketch.c:462-523. Returns NaN for an
+        empty sketch (the SQL aggregate would return NULL)."""
+        scalar = np.isscalar(qs)
+        qv = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        validate_quantiles(qv.tolist())
+        out = np.full(qv.shape, np.nan)
+        if self.count > 0:
+            ni, nc = self._neg_sorted()
+            pi, pc = self._pos_sorted()
+            for k, q in enumerate(qv.tolist()):
+                goal = q * (self.count - 1)
+                cum = 0
+                res = None
+                for i, n in zip(ni, nc):
+                    cum += n
+                    if cum > goal:
+                        res = -float(map_value(np.array([i]), self.gamma, self.multiplier)[0])
+                        break
+                if res is None:
+                    cum += self.zero_count
+                    if cum > goal:
+                        res = 0.0
+                if res is None:
+                    for i, n in zip(pi, pc):
+                        cum += n
+                        if cum > goal:
+                            break
+                    res = float(map_value(np.array([i]), self.gamma, self.multiplier)[0])
+                out[k] = res
+        return out[0] if scalar else out
+
+    def rank_of(self, xs) -> np.ndarray:
+        """Inverse quantile (~percent_rank) — ddsketch.c:545-620."""
+        scalar = np.isscalar(xs)
+        xv = np.atleast_1d(np.asarray(xs, dtype=np.float64))
+        out = np.full(xv.shape, np.nan)
+        if self.count > 0:
+            neg_total = sum(self.neg.values())
+            for k, x in enumerate(xv.tolist()):
+                cum = 0
+                if x > self.min_indexable:
+                    idx = int(map_index(np.array([x]), self.multiplier)[0])
+                    cum = neg_total + self.zero_count
+                    for i, n in self.pos.items():
+                        if i < idx:
+                            cum += n
+                        elif i == idx:
+                            cum += n // 2
+                elif x < -self.min_indexable:
+                    idx = int(map_index(np.array([-x]), self.multiplier)[0])
+                    for i, n in self.neg.items():
+                        if i > idx:
+                            cum += n
+                        elif i == idx:
+                            cum += n // 2
+                else:
+                    cum = neg_total + self.zero_count
+                out[k] = cum / float(self.count - 1) if self.count > 1 else (
+                    0.0 if cum == 0 else float(cum)
+                )
+        return out[0] if scalar else out
+
+    def _trimmed(self, low: float, high: float) -> tuple[float, int]:
+        """Reference trimmed aggregate — ddsketch.c:3687-3757, including its
+        positive-domain quirk: buckets iterate in storage order (negative
+        DESC then positive ASC) with the positive bound formula and the zero
+        bucket ignored; correct for all-positive data only."""
+        validate_trim(low, high)
+        count_low = math.floor(self.count * low)
+        count_high = math.ceil(self.count * high)
+        ni, nc = self._neg_sorted()
+        pi, pc = self._pos_sorted()
+        indexes = ni + pi
+        counts = nc + pc
+        total = 0.0
+        kept = 0
+        count_done = 0
+        for i, n in zip(indexes, counts):
+            bucket_from = map_lower_bound(self.alpha, i)
+            bucket_to = map_upper_bound(self.alpha, i)
+            count_skip = max(0, count_low - count_done - 1)
+            count_skip = min(count_skip, n)
+            count_add = n - count_skip
+            count_add -= max(0, count_done + n - count_high)
+            start = bucket_from + (count_skip * (bucket_to - bucket_from)) / n
+            end = bucket_from + ((count_skip + count_add) * (bucket_to - bucket_from)) / n
+            total += (start + end) / 2.0 * count_add
+            kept += count_add
+            count_done += n
+            if count_done >= count_high:
+                break
+        return total, kept
+
+    def trimmed_sum(self, low: float = 0.0, high: float = 1.0) -> float:
+        s, _ = self._trimmed(low, high)
+        return s if self.count > 0 else float("nan")
+
+    def trimmed_avg(self, low: float = 0.0, high: float = 1.0) -> float:
+        s, n = self._trimmed(low, high)
+        return s / n if n > 0 else float("nan")
+
+    # ------------------------------------------------------------------ introspection
+
+    def info(self) -> dict:
+        """ddsketch_info fields — ddsketch.c:3186-3228."""
+        return {
+            "bytes": _HEADER.size + _BUCKET.size * (len(self.neg) + len(self.pos)),
+            "flags": 0,
+            "alpha": self.alpha,
+            "count": self.count,
+            "zero_count": self.zero_count,
+            "maxbuckets": self.maxbuckets,
+            "negative_buckets": len(self.neg),
+            "positive_buckets": len(self.pos),
+            "min_indexable": self.min_indexable,
+            "max_indexable": self.max_indexable,
+        }
+
+    def buckets(self) -> list[dict]:
+        """One row per stored bucket, storage order (negative DESC then
+        positive ASC), with value-space bounds — ddsketch.c:3230-3298
+        (negative buckets report negated, swapped bounds)."""
+        ni, nc = self._neg_sorted()
+        pi, pc = self._pos_sorted()
+        rows = []
+        seq = 0
+        for i, n in zip(ni, nc):
+            lo = map_lower_bound(self.alpha, i)
+            hi = map_upper_bound(self.alpha, i)
+            rows.append({"index": seq, "bucket_index": i, "lower": -hi,
+                         "upper": -lo, "length": abs(hi - lo), "count": n})
+            seq += 1
+        for i, n in zip(pi, pc):
+            lo = map_lower_bound(self.alpha, i)
+            hi = map_upper_bound(self.alpha, i)
+            rows.append({"index": seq, "bucket_index": i, "lower": lo,
+                         "upper": hi, "length": abs(hi - lo), "count": n})
+            seq += 1
+        return rows
+
+    # ------------------------------------------------------------------ serde
+
+    def to_bytes(self) -> bytes:
+        """Canonical binary encoding == reference wire format
+        (``ddsketch_send``, ddsketch.c:3013-3027): big-endian header then
+        (index int32, count int64) pairs, negative part (index DESC) first."""
+        if self.count <= 0:
+            raise ValueError("cannot serialize an empty ddsketch")
+        ni, nc = self._neg_sorted()
+        pi, pc = self._pos_sorted()
+        nbuckets = len(ni) + len(pi)
+        out = bytearray(
+            _HEADER.pack(0, self.count, self.zero_count, self.alpha,
+                         self.maxbuckets, nbuckets, len(ni))
+        )
+        arr = np.empty(nbuckets, dtype=_BUCKET_DT)
+        arr["index"] = np.array(ni + pi, dtype=np.int64)
+        arr["count"] = np.array(nc + pc, dtype=np.int64)
+        out += arr.tobytes()
+        return bytes(out)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, on_overflow: str = "error") -> "DDSketch":
+        """Parse + validate, mirroring ``ddsketch_recv`` (ddsketch.c:2870-3002)."""
+        if len(data) < _HEADER.size:
+            raise ValueError("invalid ddsketch: truncated header")
+        flags, count, zero_count, alpha, maxbuckets, nbuckets, nneg = _HEADER.unpack_from(data)
+        if flags != 0:
+            raise ValueError(f"invalid sketch flags {flags}")
+        validate_alpha(alpha)
+        validate_nbuckets(maxbuckets)
+        if not (0 <= nneg <= nbuckets <= maxbuckets):
+            raise ValueError(
+                f"invalid bucket counts (negative {nneg}, total {nbuckets}, max {maxbuckets})"
+            )
+        if count <= 0:
+            raise ValueError(f"invalid count value {count}, must be positive")
+        if not (0 <= zero_count <= count):
+            raise ValueError(f"invalid zero_count value {zero_count}")
+        expected = _HEADER.size + nbuckets * _BUCKET.size
+        if len(data) != expected:
+            raise ValueError(f"invalid ddsketch size {len(data)}, expected {expected}")
+        arr = np.frombuffer(data, dtype=_BUCKET_DT, count=nbuckets, offset=_HEADER.size)
+        idx = arr["index"].astype(np.int64)
+        cnt = arr["count"].astype(np.int64)
+        if np.any(cnt <= 0):
+            raise ValueError("invalid bucket count, must be positive")
+        if nneg > 1 and np.any(np.diff(idx[:nneg]) >= 0):
+            raise ValueError("negative bucket indexes not strictly descending")
+        if nbuckets - nneg > 1 and np.any(np.diff(idx[nneg:]) <= 0):
+            raise ValueError("positive bucket indexes not strictly ascending")
+        if int(cnt.sum()) + zero_count != count:
+            raise ValueError(
+                f"total count {count} does not match buckets + zero_count "
+                f"{int(cnt.sum()) + zero_count}"
+            )
+        s = cls(alpha, maxbuckets, on_overflow)
+        s.count = int(count)
+        s.zero_count = int(zero_count)
+        s.neg = {int(i): int(n) for i, n in zip(idx[:nneg], cnt[:nneg])}
+        s.pos = {int(i): int(n) for i, n in zip(idx[nneg:], cnt[nneg:])}
+        return s
+
+    def to_string(self) -> str:
+        """Reference text format (``ddsketch_out``, ddsketch.c:2849-2868)."""
+        ni, nc = self._neg_sorted()
+        pi, pc = self._pos_sorted()
+        parts = [
+            f"flags 0 count {self.count} alpha {self.alpha:.6f} "
+            f"zero_count {self.zero_count} maxbuckets {self.maxbuckets} "
+            f"buckets {len(ni) + len(pi)} {len(ni)}"
+        ]
+        for i, n in zip(ni + pi, nc + pc):
+            parts.append(f" ({i}, {n})")
+        return "".join(parts)
+
+    _HEADER_RE = re.compile(
+        r"^\s*flags\s+(-?\d+)\s+count\s+(-?\d+)\s+alpha\s+(-?[\d.eE+-]+)\s+"
+        r"zero_count\s+(-?\d+)\s+maxbuckets\s+(-?\d+)\s+buckets\s+(-?\d+)\s+(-?\d+)"
+    )
+    _BUCKET_RE = re.compile(r"\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)")
+
+    @classmethod
+    def from_string(cls, text: str, on_overflow: str = "error") -> "DDSketch":
+        """Parse + validate the text format (``ddsketch_in``,
+        ddsketch.c:2651-2847) with the reference's failure cases."""
+        m = cls._HEADER_RE.match(text)
+        if not m:
+            raise ValueError(f"invalid ddsketch representation: {text[:60]!r}")
+        flags, count, zero_count, maxbuckets, nbuckets, nneg = (
+            int(m.group(1)), int(m.group(2)), int(m.group(4)),
+            int(m.group(5)), int(m.group(6)), int(m.group(7)),
+        )
+        alpha = float(m.group(3))
+        if flags != 0:
+            raise ValueError(f"invalid sketch flags {flags}")
+        validate_alpha(alpha)
+        validate_nbuckets(maxbuckets)
+        if not (0 <= nneg <= nbuckets <= maxbuckets):
+            raise ValueError(
+                f"invalid bucket counts (negative {nneg}, total {nbuckets}, max {maxbuckets})"
+            )
+        if count <= 0:
+            raise ValueError(f"invalid count value {count}, must be positive")
+        if not (0 <= zero_count <= count):
+            raise ValueError(f"invalid zero_count value {zero_count}")
+        pairs = cls._BUCKET_RE.findall(text, m.end())
+        if len(pairs) != nbuckets:
+            raise ValueError(
+                f"expected {nbuckets} buckets, found {len(pairs)}"
+            )
+        idx = [int(a) for a, _ in pairs]
+        cnt = [int(b) for _, b in pairs]
+        if any(n <= 0 for n in cnt):
+            raise ValueError("invalid bucket count, must be positive")
+        for k in range(1, nneg):
+            if idx[k] >= idx[k - 1]:
+                raise ValueError("negative bucket indexes not strictly descending")
+        for k in range(nneg + 1, nbuckets):
+            if idx[k] <= idx[k - 1]:
+                raise ValueError("positive bucket indexes not strictly ascending")
+        if sum(cnt) + zero_count != count:
+            raise ValueError(
+                f"total count {count} does not match buckets + zero_count "
+                f"{sum(cnt) + zero_count}"
+            )
+        s = cls(alpha, maxbuckets, on_overflow)
+        s.count = count
+        s.zero_count = zero_count
+        s.neg = dict(zip(idx[:nneg], cnt[:nneg]))
+        s.pos = dict(zip(idx[nneg:], cnt[nneg:]))
+        return s
+
+    # ------------------------------------------------------------------ misc
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, DDSketch)
+            and self.alpha == other.alpha
+            and self.count == other.count
+            and self.zero_count == other.zero_count
+            and self.neg == other.neg
+            and self.pos == other.pos
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"DDSketch(alpha={self.alpha}, maxbuckets={self.maxbuckets}, "
+            f"count={self.count}, buckets={len(self.neg)}+{len(self.pos)}, "
+            f"zero={self.zero_count})"
+        )
+
+
+def union(a: DDSketch | None, b: DDSketch | None) -> DDSketch | None:
+    """NULL-tolerant two-sketch union (``ddsketch_union``,
+    ddsketch.c:2605-2648): returns the non-None argument if one is None."""
+    if a is None:
+        return b.copy() if b is not None else None
+    if b is None:
+        return a.copy()
+    return a.copy().merge(b)

@@ -1,0 +1,254 @@
+"""Core DDSketch kernel parity tests, ported from the reference's pg_regress
+suite (/root/reference/test/sql/ddsketch.sql) per SURVEY §5 / FIXTURES.md.
+
+Oracle: numpy lower-quantile (method="lower"), matching the reference's
+lower_quantile extension convention (test/sql/ddsketch.sql:208).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from ddsketch_spark.core.ddsketch import (
+    DDSketch,
+    map_index,
+    map_value,
+    map_lower_bound,
+    map_upper_bound,
+    mapping_params,
+    union,
+)
+
+QS = [0.01, 0.05, 0.1, 0.5, 0.9, 0.95, 0.99]
+CONFIGS = [(0.05, 1024), (0.01, 2048), (0.001, 32768)]
+N = 10_000
+FUZZ = 1.01  # test/sql/ddsketch.sql:94-109 — 1% fuzz on the alpha bound
+
+
+def rel_err_ok(est, exact, alpha):
+    """check_relative_error (test/sql/ddsketch.sql:73-130): sign must match,
+    relative error < alpha * fuzz."""
+    if exact == 0:
+        return abs(est) < 1e-9 or abs(est) <= alpha * FUZZ
+    if (est < 0) != (exact < 0):
+        return False
+    return abs(est - exact) / abs(exact) < alpha * FUZZ
+
+
+def distributions():
+    rng = np.random.default_rng(23982)
+    u = rng.random(N)
+    z = rng.standard_normal(N)
+    i = np.arange(1, N + 1, dtype=np.float64)
+    out = {
+        "asc": i,
+        "asc_straddle": i - N / 2,
+        "desc": N - i,
+        "uniform": u * N,
+        "uniform_straddle": u * N - N / 2,
+        "sqrt_skew": N * np.sqrt(u),
+        "sqrt2_skew": N * np.power(u, 0.25),
+        "pow_skew": N * np.power(u, 4),
+        "pow2_skew": N * np.power(u, 8),
+        "normal": np.clip(0.5 + 0.1 * z, 0.0, 1.0),
+        "lognormal": np.exp(z),
+        "pareto": np.power(1.0 - u, -1.0 / 1.5),  # Pareto(alpha=1.5, xm=1)
+    }
+    return out
+
+
+DISTS = distributions()
+
+
+@pytest.mark.parametrize("alpha,nbuckets", CONFIGS)
+@pytest.mark.parametrize("dist", sorted(DISTS))
+def test_quantile_relative_error(dist, alpha, nbuckets):
+    data = DISTS[dist]
+    s = DDSketch(alpha, nbuckets).update(data)
+    exact = np.quantile(data, QS, method="lower")
+    est = s.quantile(QS)
+    for q, e, x in zip(QS, est, exact):
+        assert rel_err_ok(e, x, alpha), (dist, alpha, q, e, x)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "pareto"])
+def test_max_quantile_within_bound(dist):
+    data = DISTS[dist]
+    s = DDSketch(0.01, 4096).update(data)
+    assert rel_err_ok(float(s.quantile(1.0)), float(data.max()), 0.01)
+
+
+def test_monotone_quantile_vector():
+    # 99-point vector must be non-decreasing (test/sql/ddsketch.sql:238-251)
+    qs = np.arange(1, 100) / 100.0
+    for dist in ("uniform", "uniform_straddle", "lognormal"):
+        s = DDSketch(0.05, 1024).update(DISTS[dist])
+        est = s.quantile(qs)
+        assert np.all(np.diff(est) >= 0), dist
+
+
+def test_zero_and_negative_stores():
+    data = np.array([-5.0, -1.0, 0.0, 0.0, 1.0, 5.0])
+    s = DDSketch(0.05, 1024).update(data)
+    assert s.zero_count == 2
+    assert s.count == 6
+    assert sum(s.neg.values()) == 2
+    assert sum(s.pos.values()) == 2
+    assert s.quantile(0.0) < 0
+    assert s.quantile(1.0) > 0
+
+
+def test_rank_of_vs_percent_rank():
+    # tolerance 0.05 absolute (test/sql/ddsketch.sql:2507-2560)
+    data = DISTS["uniform"]
+    s = DDSketch(0.05, 1024).update(data)
+    for x in [100.0, 1000.0, 5000.0, 9000.0]:
+        exact = np.count_nonzero(data < x) / (len(data) - 1)
+        assert abs(float(s.rank_of(x)) - exact) < 0.05
+
+
+def test_weighted_equals_expanded():
+    # weighted build == count-expanded build (test/sql/ddsketch.sql:2453-2469)
+    rng = np.random.default_rng(7)
+    v = rng.random(500) * 100
+    c = 1 + (np.arange(500) % 13)
+    s_w = DDSketch(0.05, 1024).update(v, c)
+    s_e = DDSketch(0.05, 1024).update(np.repeat(v, c))
+    assert s_w == s_e
+    assert s_w.to_bytes() == s_e.to_bytes()
+
+
+def test_incremental_equals_batch():
+    # one-by-one == batch (test/sql/ddsketch.sql:2434-2450)
+    rng = np.random.default_rng(3)
+    v = rng.random(200) * 50 - 25
+    s1 = DDSketch(0.05, 1024)
+    for x in v:
+        s1.add(float(x))
+    s2 = DDSketch(0.05, 1024).update(v)
+    assert s1 == s2
+
+
+def test_merge_associative_commutative():
+    rng = np.random.default_rng(11)
+    parts = [rng.random(1000) * 10 ** k for k in range(3)]
+    sks = [DDSketch(0.01, 2048).update(p) for p in parts]
+    ab_c = union(union(sks[0], sks[1]), sks[2])
+    a_bc = union(sks[0], union(sks[1], sks[2]))
+    assert ab_c.to_bytes() == a_bc.to_bytes()  # bucket-for-bucket
+    ba = union(sks[1], sks[0])
+    ab = union(sks[0], sks[1])
+    assert ab.to_bytes() == ba.to_bytes()
+
+
+def test_merge_equals_direct_build():
+    # union of grouped sketches == batch over all (test/sql/ddsketch.sql:2490-2505)
+    data = DISTS["lognormal"]
+    whole = DDSketch(0.01, 2048).update(data)
+    merged = DDSketch(0.01, 2048)
+    for chunk in np.array_split(data, 7):
+        merged.merge(DDSketch(0.01, 2048).update(chunk))
+    assert merged == whole
+
+
+def test_merge_alpha_mismatch_raises():
+    a = DDSketch(0.01, 1024).update([1.0, 2.0])
+    b = DDSketch(0.05, 1024).update([1.0, 2.0])
+    with pytest.raises(ValueError, match="different alpha"):
+        a.merge(b)
+
+
+def test_union_null_tolerant():
+    a = DDSketch(0.01, 1024).update([1.0, 2.0])
+    assert union(a, None) == a
+    assert union(None, a) == a
+    assert union(None, None) is None
+
+
+def test_nan_skipped_and_null_count():
+    s = DDSketch(0.05, 1024).update([1.0, np.nan, 3.0])
+    assert s.count == 2
+    s2 = DDSketch(0.05, 1024).update([1.0, 3.0], [np.nan, 2.0])  # NULL count => 1
+    assert s2.count == 3
+
+
+def test_param_validation():
+    with pytest.raises(ValueError):
+        DDSketch(0.00001, 1024)
+    with pytest.raises(ValueError):
+        DDSketch(0.2, 1024)
+    with pytest.raises(ValueError):
+        DDSketch(0.05, 8)
+    with pytest.raises(ValueError):
+        DDSketch(0.05, 100000)
+    with pytest.raises(ValueError):
+        DDSketch(0.05, 1024).quantile(1.5)
+    with pytest.raises(ValueError):
+        DDSketch(0.05, 1024).update([1.0], [0])
+    with pytest.raises(ValueError):
+        DDSketch(0.05, 1024).update([1.0]).trimmed_sum(0.5, 0.3)
+
+
+def test_bucket_overflow_error_mode():
+    # alpha=0.1 over 10^±300 exceeds 16 buckets quickly (test/sql/ddsketch.sql:191-192)
+    vals = np.power(10.0, np.arange(-30, 30, dtype=np.float64))
+    with pytest.raises(ValueError, match="bucket overflow"):
+        DDSketch(0.001, 16).update(vals)
+
+
+def test_collapse_mode_keeps_bound():
+    vals = np.power(10.0, np.arange(-30, 30, dtype=np.float64))
+    s = DDSketch(0.001, 16, on_overflow="collapse").update(vals)
+    assert len(s.neg) + len(s.pos) <= 16
+    assert s.count == len(vals)
+    # alpha grew per uniform collapse rule, estimates still ordered
+    assert s.alpha > 0.001
+    qs = s.quantile([0.1, 0.5, 0.9])
+    assert np.all(np.diff(qs) >= 0)
+
+
+def test_mapping_roundtrip():
+    # bucket-index round-trip: representative value maps back to same index
+    for alpha in (0.05, 0.01, 0.001):
+        gamma, multiplier, _, _ = mapping_params(alpha)
+        idx = np.array([-50, -3, -1, 0, 1, 2, 7, 120], dtype=np.int64)
+        rep = map_value(idx, gamma, multiplier)
+        back = map_index(rep, multiplier)
+        assert np.array_equal(back, idx), alpha
+        # representative within (lower, upper]
+        for i in idx.tolist():
+            lo, hi = map_lower_bound(alpha, i), map_upper_bound(alpha, i - 1 + 1)
+            r = float(map_value(np.array([i]), gamma, multiplier)[0])
+            assert map_lower_bound(alpha, i) < r <= map_upper_bound(alpha, i)
+
+
+def test_relative_error_of_representative():
+    # bucket design guarantee: |rep - v| / v <= alpha for any v in bucket
+    rng = np.random.default_rng(5)
+    v = np.exp(rng.uniform(-10, 10, 5000))
+    for alpha in (0.05, 0.01):
+        gamma, multiplier, _, _ = mapping_params(alpha)
+        rep = map_value(map_index(v, multiplier), gamma, multiplier)
+        assert np.max(np.abs(rep - v) / v) <= alpha * (1 + 1e-12)
+
+
+def test_trimmed_sum_avg_ranges():
+    # uniform 1000*U(0,1), full-range sum within ±5% (test/sql/ddsketch.sql:3354-3410)
+    rng = np.random.default_rng(13)
+    data = rng.random(N) * 1000
+    s = DDSketch(0.01, 2048).update(data)
+    assert 0.95 * data.sum() < s.trimmed_sum(0.0, 1.0) < 1.05 * data.sum()
+    assert 0.95 * data.mean() < s.trimmed_avg(0.0, 1.0) < 1.05 * data.mean()
+    # middle half
+    lo, hi = np.quantile(data, [0.25, 0.75])
+    mid = data[(data >= lo) & (data <= hi)]
+    est = s.trimmed_avg(0.25, 0.75)
+    assert 0.9 * mid.mean() < est < 1.1 * mid.mean()
+
+
+def test_empty_sketch():
+    s = DDSketch(0.05, 1024)
+    assert math.isnan(float(s.quantile(0.5)))
+    with pytest.raises(ValueError):
+        s.to_bytes()
