@@ -106,10 +106,15 @@ def map_index(values: np.ndarray, multiplier: float) -> np.ndarray:
 
 
 def map_value(indexes: np.ndarray, gamma: float, multiplier: float) -> np.ndarray:
-    """Representative value ``gamma^index * 2/(1+gamma)`` — ddsketch.c:3180-3184."""
-    return np.power(2.0, np.asarray(indexes, dtype=np.float64) / multiplier) * (
-        2.0 / (1.0 + gamma)
-    )
+    """Representative value ``gamma^index * 2/(1+gamma)`` — ddsketch.c:3180-3184.
+
+    Uses scalar libm ``math.pow`` (not ``np.power``, whose SIMD path can be
+    1 ulp off libm) so results are bit-identical to any C/SQL engine
+    evaluating the same expression; extraction only touches a handful of
+    indexes, so the scalar loop is free."""
+    idx = np.atleast_1d(np.asarray(indexes, dtype=np.float64))
+    rep = 2.0 / (1.0 + gamma)
+    return np.array([math.pow(2.0, i / multiplier) * rep for i in idx.tolist()])
 
 
 def map_lower_bound(alpha: float, index) -> float:
@@ -356,7 +361,7 @@ class DDSketch:
         pi, pc = self._pos_sorted()
         indexes = ni + pi
         counts = nc + pc
-        total = 0.0
+        terms: list[float] = []
         kept = 0
         count_done = 0
         for i, n in zip(indexes, counts):
@@ -368,12 +373,14 @@ class DDSketch:
             count_add -= max(0, count_done + n - count_high)
             start = bucket_from + (count_skip * (bucket_to - bucket_from)) / n
             end = bucket_from + ((count_skip + count_add) * (bucket_to - bucket_from)) / n
-            total += (start + end) / 2.0 * count_add
+            terms.append((start + end) / 2.0 * count_add)
             kept += count_add
             count_done += n
             if count_done >= count_high:
                 break
-        return total, kept
+        # exactly-rounded sum: order-independent, so parallel == serial holds
+        # bit-for-bit (reference sums sequentially; result differs by <=1 ulp)
+        return math.fsum(terms), kept
 
     def trimmed_sum(self, low: float = 0.0, high: float = 1.0) -> float:
         s, _ = self._trimmed(low, high)
@@ -573,6 +580,12 @@ class DDSketch:
             f"count={self.count}, buckets={len(self.neg)}+{len(self.pos)}, "
             f"zero={self.zero_count})"
         )
+
+
+def from_bytes(data: bytes) -> DDSketch:
+    """Module-level alias of :meth:`DDSketch.from_bytes` — plain functions
+    pickle by reference into Spark closures, bound classmethods don't."""
+    return DDSketch.from_bytes(data)
 
 
 def union(a: DDSketch | None, b: DDSketch | None) -> DDSketch | None:

@@ -1,0 +1,235 @@
+"""Two-stage distributed sketch aggregation — the engine's core operator.
+
+This is the Spark-native re-expression of the reference's PostgreSQL
+aggregate protocol (SFUNC / COMBINEFUNC / SERIALFUNC / FINALFUNC,
+/root/reference/sql/ddsketch--1.0.0.sql:62-70 and ddsketch.c:2176-2361):
+
+  stage 1 (SFUNC, map-side partial aggregation):
+      ``mapInPandas`` over ONLY the projected key+value columns — one
+      accumulator per key per input partition, updated per Arrow batch with
+      vectorized numpy. Emits one row per (partition, key): the serialized
+      partial sketch plus lineage fields (partition id, row count). The
+      shuffle therefore carries kilobytes per group, never raw rows — this
+      is what makes the plan survive a 100 TB scan: shuffle volume is
+      O(partitions × groups × sketch_size), independent of row count.
+
+  stage 2 (COMBINEFUNC): ``groupBy(keys).applyInPandas`` merging the
+      partial sketches. Because stage 1 already collapsed each partition to
+      ≤1 row per key, the worst-case rows per reduce key equals the input
+      partition count — Zipf-skewed keys (web-data ``lang``) are already
+      bounded; for extreme partition counts a fan-out pre-merge round
+      (``merge_fanout``) caps it further (two-round merge per SURVEY §3.2).
+
+  final (FINALFUNC): scalar pandas UDF on the merged sketch column
+      (quantile / rank / trimmed extraction) — see
+      :mod:`ddsketch_spark.functions`.
+
+Any sketch implementing the protocol ``factory() -> obj`` with
+``update(values, counts=None) / merge(other) / to_bytes()`` plus a
+``from_bytes`` deserializer plugs into the same two stages (HLL, count-min,
+Bloom, KLL, t-digest — SURVEY §7.1 step 4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StructField, StructType,
+)
+
+from ddsketch_spark.core.ddsketch import DDSketch, from_bytes as dd_from_bytes
+
+SENTINEL_KEY = "__global__"
+
+
+def _key_fields(df: DataFrame, keys: Sequence[str]) -> list[StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [by_name[k] for k in keys]
+
+
+def sketch_partials(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    factory: Callable[[], object] = DDSketch,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Stage 1: per-partition, per-key partial sketches.
+
+    Output schema: ``keys..., sketch binary, part_id long, n long`` where
+    ``n`` is the number of contributing rows (lineage/metrics record per
+    the north rule).
+    """
+    keys = list(keys)
+    cols = keys + [value_col] + ([weight_col] if weight_col else [])
+    # explicit projection: mapInPandas is a pruning barrier, so never let
+    # wide columns (e.g. html binary) cross into Python (SURVEY §4.1)
+    projected = df.select(*cols).withColumn("__pid", F.spark_partition_id())
+
+    out_schema = StructType(
+        _key_fields(df, keys)
+        + [
+            StructField("sketch", BinaryType(), False),
+            StructField("part_id", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+    def update_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[tuple, object] = {}
+        rows: dict[tuple, int] = {}
+        pid = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            if keys:
+                grouped = pdf.groupby(keys, dropna=False, sort=False)
+                for gkey, gdf in grouped:
+                    gkey = gkey if isinstance(gkey, tuple) else (gkey,)
+                    vals = gdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+                    wts = (
+                        gdf[weight_col].to_numpy(dtype="float64", na_value=float("nan"))
+                        if weight_col else None
+                    )
+                    acc = accs.get(gkey)
+                    if acc is None:
+                        acc = accs[gkey] = factory()
+                        rows[gkey] = 0
+                    acc.update(vals, wts)
+                    rows[gkey] += len(gdf)
+            else:
+                vals = pdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+                wts = (
+                    pdf[weight_col].to_numpy(dtype="float64", na_value=float("nan"))
+                    if weight_col else None
+                )
+                acc = accs.get(())
+                if acc is None:
+                    acc = accs[()] = factory()
+                    rows[()] = 0
+                acc.update(vals, wts)
+                rows[()] += len(pdf)
+
+        out = {k: [] for k in keys}
+        out["sketch"], out["part_id"], out["n"] = [], [], []
+        for gkey, acc in accs.items():
+            if getattr(acc, "count", 1) == 0:
+                continue  # all-NULL group in this partition: no partial row
+            for k, kv in zip(keys, gkey):
+                out[k].append(kv)
+            out["sketch"].append(acc.to_bytes())
+            out["part_id"].append(pid)
+            out["n"].append(rows[gkey])
+        if out["sketch"]:
+            yield pd.DataFrame(out)
+
+    return projected.mapInPandas(update_fn, schema=out_schema)
+
+
+def merge_partials(
+    partials: DataFrame,
+    keys: Sequence[str] = (),
+    from_bytes: Callable[[bytes], object] = dd_from_bytes,
+    merge_fanout: int | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Stage 2: merge partial sketches per key.
+
+    ``merge_fanout=k`` inserts a pre-merge round grouped by
+    ``(keys, part_id % k)`` — the two-round skew/scale pattern: with P input
+    partitions, the final merge per key sees min(P, k) rows instead of P.
+    """
+    keys = list(keys)
+    group_cols = keys if keys else [F.lit(0).alias("__g")]
+
+    out_fields = (
+        [f for f in partials.schema.fields if f.name in keys]
+        + [StructField(sketch_col, BinaryType(), False),
+           StructField("n", LongType(), False)]
+    )
+    out_schema = StructType(out_fields)
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf[sketch_col]:
+            s = from_bytes(bytes(b))
+            acc = s if acc is None else acc.merge(s)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[sketch_col] = [acc.to_bytes()]
+        row["n"] = [int(pdf["n"].sum())]
+        return pd.DataFrame(row)
+
+    work = partials
+    if merge_fanout and merge_fanout > 1:
+        salt = F.pmod(F.col("part_id"), F.lit(merge_fanout)).alias("__salt")
+        pre_keys = keys + ["__salt"]
+        pre_schema = StructType(
+            [f for f in partials.schema.fields if f.name in keys]
+            + [StructField("__salt", LongType(), False),
+               StructField(sketch_col, BinaryType(), False),
+               StructField("n", LongType(), False)]
+        )
+
+        def pre_merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = None
+            for b in pdf[sketch_col]:
+                s = from_bytes(bytes(b))
+                acc = s if acc is None else acc.merge(s)
+            row = {k: [pdf[k].iloc[0]] for k in pre_keys}
+            row[sketch_col] = [acc.to_bytes()]
+            row["n"] = [int(pdf["n"].sum())]
+            return pd.DataFrame(row)
+
+        work = (
+            partials.withColumn("__salt", salt)
+            .groupBy(*(keys + ["__salt"]))
+            .applyInPandas(pre_merge_fn, schema=pre_schema)
+            .withColumn("part_id", F.col("__salt"))
+        )
+
+    merged = work.groupBy(*group_cols).applyInPandas(merge_fn, schema=out_schema)
+    return merged
+
+
+def sketch_agg(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    factory: Callable[[], object] = DDSketch,
+    from_bytes: Callable[[bytes], object] = dd_from_bytes,
+    weight_col: str | None = None,
+    merge_fanout: int | None = None,
+) -> DataFrame:
+    """Full 2-stage aggregation: ``keys..., sketch binary, n long``.
+
+    The Spark analogue of ``SELECT keys, ddsketch(value, alpha, nbuckets)
+    FROM t GROUP BY keys`` (reference lifecycle B, README.md:121-124).
+    """
+    partials = sketch_partials(df, value_col, keys, factory, weight_col)
+    return merge_partials(partials, keys, from_bytes, merge_fanout)
+
+
+def merge_sketches(
+    df: DataFrame,
+    sketch_col: str,
+    keys: Sequence[str] = (),
+    from_bytes: Callable[[bytes], object] = dd_from_bytes,
+) -> DataFrame:
+    """Re-aggregate stored sketches (``ddsketch(sketch)`` N-way merge,
+    reference ddsketch.c:1439-1520): ``keys..., sketch binary, n long``.
+
+    Spark-side this is one shuffle of already-tiny sketch rows; partial
+    merging happens map-side too via a pre-merge by input partition.
+    """
+    keys = list(keys)
+    # treat each stored sketch row as a "partial" with synthetic lineage
+    partials = (
+        df.select(*(list(keys) + [F.col(sketch_col).alias("sketch")]))
+        .withColumn("part_id", F.spark_partition_id().cast("long"))
+        .withColumn("n", F.lit(1).cast("long"))
+    )
+    return merge_partials(partials, keys, from_bytes)

@@ -1,0 +1,150 @@
+"""Spark 2-stage aggregation pipeline tests: the distributed result must be
+bucket-for-bucket identical to the single-process kernel (stronger than the
+reference's parallel==serial check, test/sql/ddsketch.sql:2674-2713)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_spark.core.ddsketch import DDSketch
+from ddsketch_spark.functions.sketch_udfs import (
+    sketch_add, sketch_buckets, sketch_count, sketch_info, sketch_quantile,
+    sketch_to_string, sketch_union,
+)
+from ddsketch_spark.operators import api
+from ddsketch_spark.operators.aggregate import sketch_agg
+
+ALPHA, NB = 0.01, 2048
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(42)
+    n = 20_000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "v": np.exp(rng.standard_normal(n)) * 100,
+        "w": rng.integers(1, 10, n),
+    })
+    # sprinkle NULLs: every 100th value (reference NULL-skipping semantics)
+    pdf.loc[::100, "v"] = None
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def kernel_sketch(values):
+    v = np.asarray(values, dtype=np.float64)
+    return DDSketch(ALPHA, NB).update(v)
+
+
+def test_global_agg_matches_kernel(data):
+    df, pdf = data
+    out = sketch_agg(df, "v").collect()
+    assert len(out) == 1
+    got = DDSketch.from_bytes(bytes(out[0]["sketch"]))
+    want = kernel_sketch(pdf["v"].to_numpy(dtype="float64"))
+    assert got == want
+    assert out[0]["n"] == len(pdf)  # lineage row count includes NULL rows seen
+
+
+def test_groupby_agg_matches_kernel_per_key(data):
+    df, pdf = data
+    rows = sketch_agg(df, "v", keys=["k"]).collect()
+    assert len(rows) == 5
+    for r in rows:
+        grp = pdf[pdf["k"] == r["k"]]["v"].to_numpy(dtype="float64")
+        assert DDSketch.from_bytes(bytes(r["sketch"])) == kernel_sketch(grp)
+
+
+def test_partitioning_invariance(data):
+    df, _ = data
+    b1 = sketch_agg(df.repartition(1), "v").collect()[0]["sketch"]
+    b16 = sketch_agg(df.repartition(16), "v").collect()[0]["sketch"]
+    assert bytes(b1) == bytes(b16)
+
+
+def test_merge_fanout_identical(data):
+    df, _ = data
+    plain = sketch_agg(df, "v", keys=["k"], merge_fanout=None).collect()
+    fan = sketch_agg(df, "v", keys=["k"], merge_fanout=3).collect()
+    assert {r["k"]: bytes(r["sketch"]) for r in plain} == \
+           {r["k"]: bytes(r["sketch"]) for r in fan}
+
+
+def test_weighted_agg(data):
+    df, pdf = data
+    out = sketch_agg(df, "v", weight_col="w").collect()[0]
+    mask = pdf["v"].notna()
+    want = DDSketch(ALPHA, NB).update(
+        pdf.loc[mask, "v"].to_numpy(dtype="float64"),
+        pdf.loc[mask, "w"].to_numpy(dtype="float64"),
+    )
+    assert DDSketch.from_bytes(bytes(out["sketch"])) == want
+
+
+def test_percentile_within_alpha(data):
+    df, pdf = data
+    rows = api.ddsketch_percentile(
+        df, "v", ALPHA, NB, [0.5, 0.9, 0.99], keys=["k"], alias="p"
+    ).collect()
+    for r in rows:
+        grp = pdf[(pdf["k"] == r["k"]) & pdf["v"].notna()]["v"].to_numpy()
+        exact = np.quantile(grp, [0.5, 0.9, 0.99], method="lower")
+        est = np.array(r["p"])
+        assert np.all(np.abs(est - exact) / exact <= ALPHA * 1.01)
+
+
+def test_reaggregate_stored_sketches(spark, data):
+    df, pdf = data
+    stored = sketch_agg(df, "v", keys=["k"])  # keys..., sketch, n
+    merged = api.ddsketch_percentile_from_sketches(stored, "sketch", 0.9, alias="p90")
+    got = merged.collect()[0]["p90"]
+    allv = pdf[pdf["v"].notna()]["v"].to_numpy()
+    want = float(kernel_sketch(allv).quantile(0.9))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_scalar_udfs(spark, data):
+    df, pdf = data
+    stored = sketch_agg(df, "v", keys=["k"]).cache()
+    # count
+    counts = stored.select("k", sketch_count("sketch").alias("c")).collect()
+    for r in counts:
+        assert r["c"] == int(pdf[pdf["k"] == r["k"]]["v"].notna().sum())
+    # info
+    inf = stored.select(sketch_info(F.col("sketch")).alias("i")).select("i.*").collect()[0]
+    assert inf["alpha"] == ALPHA and inf["maxbuckets"] == NB and inf["flags"] == 0
+    # union of two stored sketches == kernel merge
+    two = stored.limit(2).collect()
+    a, b = bytes(two[0]["sketch"]), bytes(two[1]["sketch"])
+    pair = spark.createDataFrame([(bytearray(a), bytearray(b))], "a binary, b binary")
+    u = bytes(pair.select(sketch_union(F.col("a"), F.col("b")).alias("u")).collect()[0]["u"])
+    assert u == DDSketch.from_bytes(a).merge(DDSketch.from_bytes(b)).to_bytes()
+    # null-tolerant union
+    pair_n = spark.createDataFrame([(bytearray(a), None)], "a binary, b binary")
+    u2 = bytes(pair_n.select(sketch_union(F.col("a"), F.col("b")).alias("u")).collect()[0]["u"])
+    assert u2 == a
+    # add: incremental insert matches kernel add
+    one = spark.createDataFrame([(bytearray(a),)], "s binary")
+    added = bytes(one.select(sketch_add(F.col("s"), 123.45).alias("s2")).collect()[0]["s2"])
+    assert added == DDSketch.from_bytes(a).add(123.45).to_bytes()
+    # buckets explode: counts sum to count - zero_count
+    ex = (stored.select("k", F.explode(sketch_buckets(F.col("sketch"))).alias("b"))
+          .groupBy("k").agg(F.sum("b.count").alias("s")).collect())
+    for r in ex:
+        sk = DDSketch.from_bytes(bytes(
+            [x["sketch"] for x in stored.collect() if x["k"] == r["k"]][0]))
+        assert r["s"] == sk.count - sk.zero_count
+    # to_string round-trip via Spark
+    txt = stored.select(sketch_to_string(F.col("sketch")).alias("t")).collect()[0]["t"]
+    assert txt.startswith("flags 0 count ")
+    stored.unpersist()
+
+
+def test_trimmed_api(data):
+    df, pdf = data
+    allv = pdf[pdf["v"].notna()]["v"].to_numpy()
+    r = api.ddsketch_avg(df, "v", ALPHA, NB, 0.25, 0.75, alias="tavg").collect()[0]
+    lo, hi = np.quantile(allv, [0.25, 0.75])
+    mid = allv[(allv >= lo) & (allv <= hi)].mean()
+    assert abs(r["tavg"] - mid) / mid < 0.1
