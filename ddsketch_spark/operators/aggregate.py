@@ -67,7 +67,14 @@ def sketch_partials(
     cols = keys + [value_col] + ([weight_col] if weight_col else [])
     # explicit projection: mapInPandas is a pruning barrier, so never let
     # wide columns (e.g. html binary) cross into Python (SURVEY §4.1)
-    projected = df.select(*cols).withColumn("__pid", F.spark_partition_id())
+    projected = df.select(*cols)
+    # a 100 TB scan has thousands of splits, but a small local file can be a
+    # single row group -> one task; fan out the (already-projected, narrow)
+    # rows so stage 1 uses the whole cluster. No-op at scale.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if projected.rdd.getNumPartitions() < target:
+        projected = projected.repartition(target)
+    projected = projected.withColumn("__pid", F.spark_partition_id())
 
     out_schema = StructType(
         _key_fields(df, keys)
