@@ -85,6 +85,23 @@ def sketch_partials(
         ]
     )
 
+    # kernels declare their input dtype ('float64' default; hash-based
+    # sketches take pre-hashed 'int64' columns — hashing stays JVM-side)
+    int_input = getattr(factory(), "input_dtype", "float64") == "int64"
+
+    def _extract(gdf: pd.DataFrame):
+        if int_input:
+            sub = gdf[[value_col] + ([weight_col] if weight_col else [])].dropna(
+                subset=[value_col])
+            vals = sub[value_col].to_numpy(dtype="int64")
+            wts = (sub[weight_col].to_numpy(dtype="float64", na_value=float("nan"))
+                   if weight_col else None)
+        else:
+            vals = gdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+            wts = (gdf[weight_col].to_numpy(dtype="float64", na_value=float("nan"))
+                   if weight_col else None)
+        return vals, wts
+
     def update_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         accs: dict[tuple, object] = {}
         rows: dict[tuple, int] = {}
@@ -97,11 +114,7 @@ def sketch_partials(
                 grouped = pdf.groupby(keys, dropna=False, sort=False)
                 for gkey, gdf in grouped:
                     gkey = gkey if isinstance(gkey, tuple) else (gkey,)
-                    vals = gdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
-                    wts = (
-                        gdf[weight_col].to_numpy(dtype="float64", na_value=float("nan"))
-                        if weight_col else None
-                    )
+                    vals, wts = _extract(gdf)
                     acc = accs.get(gkey)
                     if acc is None:
                         acc = accs[gkey] = factory()
@@ -109,11 +122,7 @@ def sketch_partials(
                     acc.update(vals, wts)
                     rows[gkey] += len(gdf)
             else:
-                vals = pdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
-                wts = (
-                    pdf[weight_col].to_numpy(dtype="float64", na_value=float("nan"))
-                    if weight_col else None
-                )
+                vals, wts = _extract(pdf)
                 acc = accs.get(())
                 if acc is None:
                     acc = accs[()] = factory()

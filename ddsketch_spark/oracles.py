@@ -21,6 +21,9 @@ from typing import Sequence
 import numpy as np
 
 from ddsketch_spark.core.ddsketch import map_index, mapping_params
+from ddsketch_spark.core.hashing import (
+    H1_BITS, H64_BITS, duckdb_h64, py_positions,
+)
 
 
 def _consts(alpha: float) -> tuple[float, float, float, float]:
@@ -207,3 +210,130 @@ contribs AS (
 )
 SELECT {ksel}{final} AS val FROM contribs{kgroup}
 """
+
+# ---------------------------------------------------------------------------
+# sibling sketches: exact SQL mirrors (HLL / count-min / Bloom).
+# The sketches are deterministic functions of the input *set/multiset*
+# (max / sum / OR over md5-derived positions), so DuckDB can replay the
+# identical integer arithmetic and the driver's value-hash compare matches
+# bit-for-bit. See ddsketch_spark/core/hashing.py for the shared hash.
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_ndv_sql(table: str, expr: str, p: int = 12,
+                keys: Sequence[str] = ()) -> str:
+    """Rows ``keys..., ndv_est`` — mirror of core.hll.HLL.estimate().
+
+    The register power sum is computed in *integer* arithmetic (exact,
+    order-free) on both sides; only the final division / log are float,
+    and the result is rounded to 4 decimals on both sides.
+    """
+    keys = list(keys)
+    m = 1 << p
+    Q = H64_BITS - p + 1
+    # same evaluation order as HLL.estimate(): ((alpha*m)*m)*2^Q
+    C = _hll_alpha(m) * m * m * float(1 << Q)
+    ksel = "".join(f"{k}, " for k in keys)
+    kgroup = ", ".join(keys)
+    regs_group = f"{kgroup}, j" if keys else "j"
+    agg_group = f" GROUP BY {kgroup}" if keys else ""
+    return f"""
+WITH hs AS (
+  SELECT {ksel}{duckdb_h64(expr)} AS h FROM {table} WHERE {expr} IS NOT NULL
+),
+regs AS (
+  SELECT {ksel}(h % {m}) AS j,
+         max(CASE WHEN (h // {m}) = 0 THEN {Q}
+                  ELSE {Q} - length(bin(h // {m})) END) AS rho
+  FROM hs GROUP BY {regs_group}
+),
+agg AS (
+  SELECT {ksel}count(*) AS npresent,
+         sum((CAST(1 AS BIGINT) << ({Q} - rho))) AS spresent
+  FROM regs{agg_group}
+),
+raws AS (
+  SELECT {ksel}({m} - npresent) AS zeros,
+         {_lit(C)} / CAST(spresent + ({m} - npresent) * (CAST(1 AS BIGINT) << {Q}) AS DOUBLE) AS raw
+  FROM agg
+)
+SELECT {ksel}round(CASE WHEN raw <= {_lit(2.5 * m)} AND zeros > 0
+                        THEN {m} * ln({m} / zeros) ELSE raw END, 4) AS ndv_est
+FROM raws
+"""
+
+
+def _double_hash_pos(width: int) -> str:
+    """Position expression for stride column ``i`` — mirror of
+    core.hashing.positions()."""
+    h1 = f"(h % {1 << H1_BITS})"
+    h2 = f"(2 * ((h >> {H1_BITS}) % {1 << (H1_BITS - 1)}) + 1)"
+    return f"(({h1} + i * {h2}) % {width})"
+
+
+def cms_freq_sql(table: str, expr: str, depth: int, width: int,
+                 probes: Sequence[str]) -> str:
+    """Rows ``item, freq`` — mirror of core.cms.CMS.estimate() for literal
+    probe values (probe positions precomputed in Python, data side in SQL)."""
+    probe_rows = []
+    for item in probes:
+        for i, p in enumerate(py_positions(str(item), depth, width)):
+            probe_rows.append(f"('{item}', {i}, {p})")
+    values = ", ".join(probe_rows)
+    return f"""
+WITH hs AS (
+  SELECT {duckdb_h64(expr)} AS h FROM {table} WHERE {expr} IS NOT NULL
+),
+pos AS (
+  SELECT r.i AS i, {_double_hash_pos(width)} AS p
+  FROM hs, range({depth}) AS r(i)
+),
+counters AS (
+  SELECT i, p, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY i, p
+),
+probes(item, i, p) AS (VALUES {values})
+SELECT pr.item AS item, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS freq
+FROM probes pr LEFT JOIN counters c ON c.i = pr.i AND c.p = pr.p
+GROUP BY pr.item
+"""
+
+
+def bloom_member_sql(table: str, expr: str, nbits: int, k: int,
+                     probes: Sequence[str]) -> str:
+    """Rows ``item, member`` — mirror of core.bloom.Bloom.contains() for
+    literal probes (false positives included: both sides compute the same
+    bit positions, so even FP results match exactly)."""
+    probe_rows = []
+    for item in probes:
+        for p in py_positions(str(item), k, nbits):
+            probe_rows.append(f"('{item}', {p})")
+    values = ", ".join(probe_rows)
+    return f"""
+WITH hs AS (
+  SELECT {duckdb_h64(expr)} AS h FROM {table} WHERE {expr} IS NOT NULL
+),
+datapos AS (
+  SELECT DISTINCT {_double_hash_pos(nbits)} AS p
+  FROM hs, range({k}) AS r(i)
+),
+probes(item, p) AS (VALUES {values})
+SELECT pr.item AS item, bool_and(d.p IS NOT NULL) AS member
+FROM probes pr LEFT JOIN datapos d ON d.p = pr.p
+GROUP BY pr.item
+"""
+
+
+def bound_rows_sql(qs: Sequence[float]) -> str:
+    """Rows ``q, ok=TRUE`` — oracle side of the rank-error-bound checks for
+    the order-sensitive sketches (KLL / t-digest), whose estimates cannot be
+    replayed in SQL (SURVEY §5); the Spark side computes the sketch estimate
+    AND verifies its exact rank lies within the bound, so a broken sketch
+    yields ok=FALSE and the hash compare fails."""
+    rows = ", ".join(f"({_lit(float(q))}, TRUE)" for q in qs)
+    return f"SELECT q, ok FROM (VALUES {rows}) t(q, ok)"

@@ -12,12 +12,27 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ddsketch_spark import oracles
+from ddsketch_spark.core import bloom as bloom_mod
+from ddsketch_spark.core import cms as cms_mod
+from ddsketch_spark.core import hll as hll_mod
+from ddsketch_spark.core import kll as kll_mod
+from ddsketch_spark.core import tdigest as tdigest_mod
+from ddsketch_spark.core.bloom import Bloom
+from ddsketch_spark.core.cms import CMS
+from ddsketch_spark.core.hashing import py_h64, spark_h64
+from ddsketch_spark.core.hll import HLL
+from ddsketch_spark.core.kll import KLL
+from ddsketch_spark.core.tdigest import TDigest
+from ddsketch_spark.functions.estimators import (
+    bloom_contains, cms_estimate, hll_estimate, kll_quantile,
+    tdigest_quantile,
+)
 from ddsketch_spark.functions.sketch_udfs import (
     sketch_buckets, sketch_info, sketch_quantile, sketch_rank_of,
     sketch_trimmed,
 )
 from ddsketch_spark.operators import api
-from ddsketch_spark.operators.aggregate import merge_sketches
+from ddsketch_spark.operators.aggregate import merge_sketches, sketch_agg
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -128,6 +143,96 @@ def dd_quantiles_events_by_type(spark, sf_dir):
                          keys=["event_type"])
 
 
+# --------------------------------------------------------------------------
+# query catalog — sibling sketches (HLL / count-min / Bloom / KLL / t-digest)
+# --------------------------------------------------------------------------
+
+CMS_PROBES = ["click", "view", "purchase", "signup", "error"]
+BLOOM_PROBES = ["0", "1", "2", "14999", "-1", "no-such-key", "999999999"]
+BOUND_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+RANK_BOUND_EPS = 0.05
+
+
+def hll_ndv_orderkeys(spark, sf_dir):
+    """Global NDV of o_orderkey via HLL(p=12); hash computed JVM-side."""
+    df = _t(spark, sf_dir, "orders").select(spark_h64("o_orderkey").alias("h"))
+    built = sketch_agg(df, "h", factory=lambda: HLL(12),
+                       from_bytes=hll_mod.from_bytes)
+    return built.select(F.round(hll_estimate(F.col("sketch")), 4).alias("ndv_est"))
+
+
+def hll_ndv_users_by_type(spark, sf_dir):
+    """Per-event-type NDV of user_id (small-range linear-counting path)."""
+    df = _t(spark, sf_dir, "events").select(
+        "event_type", spark_h64("user_id").alias("h"))
+    built = sketch_agg(df, "h", keys=["event_type"],
+                       factory=lambda: HLL(12), from_bytes=hll_mod.from_bytes)
+    return built.select(
+        "event_type", F.round(hll_estimate(F.col("sketch")), 4).alias("ndv_est"))
+
+
+def _explode_probes(built, probes, est_col, out_name):
+    items = F.array(*[F.lit(p) for p in probes]).alias("item")
+    z = F.explode(F.arrays_zip(items, est_col.alias(out_name))).alias("z")
+    return built.select(z).select(
+        F.col("z.item").alias("item"), F.col(f"z.{out_name}").alias(out_name))
+
+
+def cms_freq_event_types(spark, sf_dir):
+    """Count-min frequency estimates for the five event types."""
+    df = _t(spark, sf_dir, "events").select(spark_h64("event_type").alias("h"))
+    built = sketch_agg(df, "h", factory=lambda: CMS(5, 2048),
+                       from_bytes=cms_mod.from_bytes)
+    est = cms_estimate(F.col("sketch"), [py_h64(p) for p in CMS_PROBES])
+    return _explode_probes(built, CMS_PROBES, est, "freq")
+
+
+def bloom_member_orderkeys(spark, sf_dir):
+    """Bloom membership of probe order keys (present + absent mixes)."""
+    df = _t(spark, sf_dir, "orders").select(spark_h64("o_orderkey").alias("h"))
+    built = sketch_agg(df, "h", factory=lambda: Bloom(1 << 16, 5),
+                       from_bytes=bloom_mod.from_bytes)
+    est = bloom_contains(F.col("sketch"), [py_h64(p) for p in BLOOM_PROBES])
+    return _explode_probes(built, BLOOM_PROBES, est, "member")
+
+
+def _rank_bound_query(spark, sf_dir, factory, from_bytes, quantile_fn):
+    """Build the sketch over l_extendedprice, extract quantile estimates,
+    then verify each estimate's EXACT rank lies within RANK_BOUND_EPS of the
+    requested q — output ``q, ok``. The oracle returns TRUE rows, so a
+    broken sketch hash-mismatches (SURVEY §5 bound-check pattern for
+    order-sensitive sketches)."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"))
+    built = sketch_agg(df, "v", factory=factory, from_bytes=from_bytes)
+    qarr = F.array(*[F.lit(float(q)) for q in BOUND_QS]).alias("q")
+    earr = quantile_fn(F.col("sketch"), BOUND_QS).alias("est")
+    est_rows = (
+        built.select(F.explode(F.arrays_zip(qarr, earr)).alias("z"))
+        .select(F.col("z.q").alias("q"), F.col("z.est").alias("est"))
+    )
+    joined = df.crossJoin(F.broadcast(est_rows))
+    agg = joined.groupBy("q", "est").agg(
+        F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0)).alias("lt"),
+        F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias("le"),
+        F.count("v").alias("n"),
+    )
+    eps = F.lit(RANK_BOUND_EPS)
+    ok = ((F.col("lt") / F.col("n") <= F.col("q") + eps)
+          & (F.col("le") / F.col("n") >= F.col("q") - eps))
+    return agg.select("q", ok.alias("ok"))
+
+
+def kll_rank_bound_price(spark, sf_dir):
+    return _rank_bound_query(spark, sf_dir, lambda: KLL(200),
+                             kll_mod.from_bytes, kll_quantile)
+
+
+def tdigest_rank_bound_price(spark, sf_dir):
+    return _rank_bound_query(spark, sf_dir, lambda: TDigest(100.0),
+                             tdigest_mod.from_bytes, tdigest_quantile)
+
+
 QUERIES: dict[str, Callable] = {
     "dd_quantiles_price_global": dd_quantiles_price_global,
     "dd_quantiles_price_by_flag": dd_quantiles_price_by_flag,
@@ -139,6 +244,12 @@ QUERIES: dict[str, Callable] = {
     "dd_trimmed_sum_price": dd_trimmed_sum_price,
     "dd_reagg_p90_by_flag": dd_reagg_p90_by_flag,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
+    "hll_ndv_orderkeys": hll_ndv_orderkeys,
+    "hll_ndv_users_by_type": hll_ndv_users_by_type,
+    "cms_freq_event_types": cms_freq_event_types,
+    "bloom_member_orderkeys": bloom_member_orderkeys,
+    "kll_rank_bound_price": kll_rank_bound_price,
+    "tdigest_rank_bound_price": tdigest_rank_bound_price,
 }
 
 ORACLES: dict[str, str] = {
@@ -163,4 +274,13 @@ ORACLES: dict[str, str] = {
         "lineitem", "l_extendedprice", 0.01, [0.9], keys=["l_returnflag"]),
     "dd_quantiles_events_by_type": oracles.percentile_sql(
         "events", "value", 0.01, [0.5, 0.9], keys=["event_type"]),
+    "hll_ndv_orderkeys": oracles.hll_ndv_sql("orders", "o_orderkey", p=12),
+    "hll_ndv_users_by_type": oracles.hll_ndv_sql(
+        "events", "user_id", p=12, keys=["event_type"]),
+    "cms_freq_event_types": oracles.cms_freq_sql(
+        "events", "event_type", 5, 2048, CMS_PROBES),
+    "bloom_member_orderkeys": oracles.bloom_member_sql(
+        "orders", "o_orderkey", 1 << 16, 5, BLOOM_PROBES),
+    "kll_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
+    "tdigest_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
 }

@@ -1,0 +1,137 @@
+"""End-to-end tests for the sibling sketches through the 2-stage Spark
+pipeline: distributed result must equal the single-process kernel for the
+deterministic sketches (HLL / CMS / Bloom), and stay within the rank-error
+bound for the order-sensitive ones (KLL / t-digest). Plus driver-contract
+checks of the new query catalog entries against their DuckDB oracles at
+sf0.001.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_spark.core import bloom as bloom_mod
+from ddsketch_spark.core import cms as cms_mod
+from ddsketch_spark.core import hll as hll_mod
+from ddsketch_spark.core import kll as kll_mod
+from ddsketch_spark.core.bloom import Bloom
+from ddsketch_spark.core.cms import CMS
+from ddsketch_spark.core.hashing import py_h64, spark_h64
+from ddsketch_spark.core.hll import HLL
+from ddsketch_spark.core.kll import KLL
+from ddsketch_spark.operators.aggregate import sketch_agg
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def hashed_df(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 3, 5000),
+        "s": [f"item-{i % 800}" for i in range(5000)],
+    })
+    df = (spark.createDataFrame(pdf).repartition(6)
+          .select("k", spark_h64("s").alias("h")))
+    return df, pdf
+
+
+def test_spark_h64_matches_python(spark):
+    df = spark.createDataFrame(pd.DataFrame({"s": ["a", "hello", "42"]}))
+    got = {r["s"]: r["h"] for r in df.select("s", spark_h64("s").alias("h")).collect()}
+    assert got == {s: py_h64(s) for s in ("a", "hello", "42")}
+
+
+def test_spark_h64_of_bigint_matches_string_form(spark):
+    df = spark.range(5).select(spark_h64("id").alias("h"), "id")
+    for r in df.collect():
+        assert r["h"] == py_h64(str(r["id"]))
+
+
+def test_hll_spark_equals_kernel(hashed_df):
+    df, pdf = hashed_df
+    out = sketch_agg(df, "h", factory=lambda: HLL(12),
+                     from_bytes=hll_mod.from_bytes).collect()
+    got = HLL.from_bytes(bytes(out[0]["sketch"]))
+    want = HLL(12).update(np.array([py_h64(s) for s in pdf["s"]], dtype=np.int64))
+    assert got == want
+    assert abs(got.estimate() - 800) / 800 < 0.05
+
+
+def test_cms_spark_equals_kernel(hashed_df):
+    df, pdf = hashed_df
+    out = sketch_agg(df, "h", factory=lambda: CMS(4, 512),
+                     from_bytes=cms_mod.from_bytes).collect()
+    got = CMS.from_bytes(bytes(out[0]["sketch"]))
+    want = CMS(4, 512).update(np.array([py_h64(s) for s in pdf["s"]], dtype=np.int64))
+    assert got == want
+
+
+def test_bloom_spark_equals_kernel(hashed_df):
+    df, pdf = hashed_df
+    out = sketch_agg(df, "h", factory=lambda: Bloom(1 << 14, 5),
+                     from_bytes=bloom_mod.from_bytes).collect()
+    got = Bloom.from_bytes(bytes(out[0]["sketch"]))
+    want = Bloom(1 << 14, 5).update(np.array([py_h64(s) for s in pdf["s"]],
+                                             dtype=np.int64))
+    assert got == want
+    assert bool(got.contains(py_h64("item-5"))[0])
+
+
+def test_hll_groupby_keys(hashed_df):
+    df, pdf = hashed_df
+    rows = sketch_agg(df, "h", keys=["k"], factory=lambda: HLL(12),
+                      from_bytes=hll_mod.from_bytes).collect()
+    assert len(rows) == 3
+    for r in rows:
+        sub = pdf[pdf["k"] == r["k"]]
+        want = HLL(12).update(np.array([py_h64(s) for s in sub["s"]], dtype=np.int64))
+        assert HLL.from_bytes(bytes(r["sketch"])) == want
+
+
+def test_kll_spark_rank_error(spark):
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(3, 1.2, 50_000)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(8)
+    out = sketch_agg(df, "v", factory=lambda: KLL(200),
+                     from_bytes=kll_mod.from_bytes).collect()
+    s = KLL.from_bytes(bytes(out[0]["sketch"]))
+    assert s.count == len(vals)
+    svals = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = float(s.quantile(q))
+        rank = np.searchsorted(svals, est) / (len(vals) - 1)
+        assert abs(rank - q) < 0.04, q
+
+
+# -------------------------------------------------------- driver contract
+
+NEW_QUERIES = [
+    "hll_ndv_orderkeys", "hll_ndv_users_by_type", "cms_freq_event_types",
+    "bloom_member_orderkeys", "kll_rank_bound_price",
+    "tdigest_rank_bound_price",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_oracle_sf0001(spark, name):
+    from ddsketch_spark.queries import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "events"):
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    a = QUERIES[name](spark, SF_DIR).toPandas()
+    b = con.execute(ORACLES[name]).fetchdf()
+    a = a[sorted(a.columns)].sort_values(by=sorted(a.columns)).reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(by=sorted(b.columns)).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        for x, y in zip(a[c], b[c]):
+            assert x == y or (pd.isna(x) and pd.isna(y)), (c, x, y)
