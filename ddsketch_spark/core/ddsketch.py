@@ -458,7 +458,12 @@ class DDSketch:
         flags, count, zero_count, alpha, maxbuckets, nbuckets, nneg = _HEADER.unpack_from(data)
         if flags != 0:
             raise ValueError(f"invalid sketch flags {flags}")
-        validate_alpha(alpha)
+        # binary decode accepts alpha beyond the reference's input range
+        # [0.0001, 0.1]: UDDSketch collapse (our extension, SURVEY §7.0)
+        # doubles alpha per collapse, and collapsed sketches must round-trip.
+        # Text format (from_string) keeps the strict reference validation.
+        if not (0.0 < alpha < 1.0):
+            raise ValueError(f"alpha value {alpha} not in supported range (0, 1)")
         validate_nbuckets(maxbuckets)
         if not (0 <= nneg <= nbuckets <= maxbuckets):
             raise ValueError(
@@ -485,7 +490,10 @@ class DDSketch:
                 f"total count {count} does not match buckets + zero_count "
                 f"{int(cnt.sum()) + zero_count}"
             )
-        s = cls(alpha, maxbuckets, on_overflow)
+        s = cls(min(max(alpha, MIN_SKETCH_ALPHA), MAX_SKETCH_ALPHA),
+                maxbuckets, on_overflow)
+        s.alpha = float(alpha)  # may exceed 0.1 after collapse (see above)
+        s._set_params()
         s.count = int(count)
         s.zero_count = int(zero_count)
         s.neg = {int(i): int(n) for i, n in zip(idx[:nneg], cnt[:nneg])}

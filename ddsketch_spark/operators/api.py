@@ -21,6 +21,7 @@ from ddsketch_spark.functions.sketch_udfs import (
     sketch_quantile, sketch_rank_of, sketch_trimmed,
 )
 from ddsketch_spark.operators.aggregate import merge_sketches, sketch_agg
+from ddsketch_spark.operators.native import ddsketch_agg_native
 
 
 def _factory(alpha: float, nbuckets: int, on_overflow: str = "error"):
@@ -32,9 +33,19 @@ def _factory(alpha: float, nbuckets: int, on_overflow: str = "error"):
 def ddsketch(df: DataFrame, value_col: str, alpha: float, nbuckets: int,
              keys: Sequence[str] = (), weight_col: str | None = None,
              on_overflow: str = "error",
-             merge_fanout: int | None = None) -> DataFrame:
+             merge_fanout: int | None = None,
+             impl: str = "native") -> DataFrame:
     """``ddsketch(value[, count], alpha, nbuckets)`` — build and return the
-    sketch itself (aggregates #5/#11): ``keys..., sketch binary, n long``."""
+    sketch itself (aggregates #5/#11): ``keys..., sketch binary, n long``.
+
+    ``impl='native'`` (default) aggregates bucket counts JVM-side with
+    whole-stage codegen and only assembles sketch bytes in Python
+    (operators/native.py — the 100 TB plan); ``impl='python'`` runs the
+    generic Arrow 2-stage pipeline. Both produce bit-identical sketches
+    (tests/test_native_agg.py)."""
+    if impl == "native":
+        return ddsketch_agg_native(df, value_col, alpha, nbuckets, keys,
+                                   weight_col, on_overflow)
     return sketch_agg(
         df, value_col, keys, _factory(alpha, nbuckets, on_overflow),
         dd_from_bytes, weight_col, merge_fanout,

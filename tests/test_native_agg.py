@@ -1,0 +1,135 @@
+"""Native (JVM bucket-expression) DDSketch aggregation must be
+bit-identical to the Python-kernel pipeline and to a single-process
+kernel build — including weighted, grouped, negative/zero values, NULLs,
+and overflow behavior.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_spark.core.ddsketch import DDSketch, map_index, mapping_params
+from ddsketch_spark.operators.aggregate import sketch_agg
+from ddsketch_spark.operators.api import ddsketch as dd_api
+from ddsketch_spark.operators.native import dd_bucket_exprs, ddsketch_agg_native
+
+ALPHA, NB = 0.01, 2048
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(99)
+    n = 30_000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        # straddle zero + exercise the zero bucket (reference test pattern,
+        # test/sql/ddsketch.sql:212-236)
+        "v": np.concatenate([
+            np.exp(rng.standard_normal(n - 2000)) * 100 - 50,
+            np.zeros(1000),
+            -np.exp(rng.standard_normal(1000)),
+        ]),
+        "w": rng.integers(1, 7, n),
+    })
+    pdf.loc[::97, "v"] = None
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def kernel(pdf, weighted=False):
+    s = DDSketch(ALPHA, NB)
+    v = pdf["v"].to_numpy(dtype="float64")
+    if weighted:
+        s.update(v, pdf["w"].to_numpy(dtype="float64"))
+    else:
+        s.update(v)
+    return s
+
+
+def test_jvm_bucket_index_parity(spark, data):
+    """JVM Math.log vs numpy np.log: bucket indexes must agree on every
+    row (1-ulp boundary risk pinned empirically — operators/native.py)."""
+    df, pdf = data
+    for alpha in (0.05, 0.01, 0.001):
+        _, mult, minidx, _ = mapping_params(alpha)
+        part, bidx = dd_bucket_exprs("v", alpha)
+        got = df.select(part, bidx).toPandas()
+        v = pdf["v"].to_numpy(dtype="float64")
+        mask_pos = v > minidx
+        mask_neg = v < -minidx
+        got_pos = got[got["__part"] == 2]["__bidx"].to_numpy()
+        got_neg = got[got["__part"] == 0]["__bidx"].to_numpy()
+        want_pos = map_index(v[np.nan_to_num(mask_pos, nan=False)], mult)
+        want_neg = map_index(-v[np.nan_to_num(mask_neg, nan=False)], mult)
+        assert np.array_equal(np.sort(got_pos), np.sort(want_pos)), alpha
+        assert np.array_equal(np.sort(got_neg), np.sort(want_neg)), alpha
+
+
+def test_native_equals_kernel_global(data):
+    df, pdf = data
+    out = ddsketch_agg_native(df, "v", ALPHA, NB).collect()
+    assert len(out) == 1
+    got = DDSketch.from_bytes(bytes(out[0]["sketch"]))
+    assert got == kernel(pdf)
+    assert out[0]["n"] == len(pdf)
+
+
+def test_native_equals_python_pipeline(data):
+    df, _ = data
+    a = {r["k"]: (bytes(r["sketch"]), r["n"]) for r in
+         ddsketch_agg_native(df, "v", ALPHA, NB, keys=["k"]).collect()}
+    b = {r["k"]: (bytes(r["sketch"]), r["n"]) for r in
+         sketch_agg(df, "v", ["k"], lambda: DDSketch(ALPHA, NB)).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        sa, sb = DDSketch.from_bytes(a[k][0]), DDSketch.from_bytes(b[k][0])
+        assert sa == sb, k
+        assert a[k][1] == b[k][1], k  # lineage row counts
+
+
+def test_native_weighted_equals_kernel(data):
+    df, pdf = data
+    out = ddsketch_agg_native(df, "v", ALPHA, NB, weight_col="w").collect()
+    got = DDSketch.from_bytes(bytes(out[0]["sketch"]))
+    assert got == kernel(pdf, weighted=True)
+
+
+def test_native_parallelism_invariance(data):
+    """repartition(1) == repartition(16): bucket counts are exact integer
+    sums (stronger than the reference's parallel==serial caveat)."""
+    df, _ = data
+    a = ddsketch_agg_native(df.repartition(1), "v", ALPHA, NB).collect()[0]
+    b = ddsketch_agg_native(df.repartition(16), "v", ALPHA, NB).collect()[0]
+    assert bytes(a["sketch"]) == bytes(b["sketch"])
+
+
+def test_native_overflow_error(spark):
+    pdf = pd.DataFrame({"v": np.exp(np.linspace(0, 80, 2000))})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="bucket overflow"):
+        ddsketch_agg_native(df, "v", 0.001, 16).collect()
+
+
+def test_native_overflow_collapse(spark):
+    pdf = pd.DataFrame({"v": np.exp(np.linspace(0, 80, 2000))})
+    df = spark.createDataFrame(pdf)
+    out = ddsketch_agg_native(df, "v", 0.001, 16, on_overflow="collapse").collect()
+    s = DDSketch.from_bytes(bytes(out[0]["sketch"]))
+    assert len(s.pos) <= 16 and s.count == 2000
+    want = DDSketch(0.001, 16, "collapse").update(pdf["v"].to_numpy())
+    assert s == want
+
+
+def test_native_rejects_nonpositive_weight(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0], "w": [1, 0]}))
+    with pytest.raises(Exception, match="positive integer"):
+        ddsketch_agg_native(df, "v", 0.05, 1024, weight_col="w").collect()
+
+
+def test_api_default_is_native_and_matches_python(data):
+    df, _ = data
+    a = dd_api(df, "v", ALPHA, NB, keys=["k"]).collect()
+    b = dd_api(df, "v", ALPHA, NB, keys=["k"], impl="python").collect()
+    am = {r["k"]: bytes(r["sketch"]) for r in a}
+    bm = {r["k"]: bytes(r["sketch"]) for r in b}
+    assert am == bm
