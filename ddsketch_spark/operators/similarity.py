@@ -1,0 +1,148 @@
+"""Embedding similarity search — brute-force cosine top-k (exactness
+baseline) and random-hyperplane LSH buckets (the scale path), plus
+embedding-cosine near-duplicate pairs.
+
+Determinism contract (shared with the DuckDB oracles): embeddings are
+float32; both engines quantize each component to an integer
+``q = floor(double(x) * EMB_SCALE + 0.5)`` (exact — float32 -> float64 is
+lossless and the two float ops are identical IEEE operations), then all dot
+products and norms are *exact integer sums*. The only float steps are the
+final ``dot / (sqrt(na) * sqrt(nb))`` — three correctly-rounded IEEE ops —
+so cosine values are bit-identical across engines and rankings never flip.
+
+Scale notes: brute-force is broadcast(queries) x corpus — linear scan,
+embarrassingly parallel, no shuffle of the corpus; LSH buckets give
+sublinear candidate sets via an equi-join on the 16-bit bucket id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from ddsketch_spark.textconf import ANN_PLANES, EMB_SCALE, ann_plane_weights
+
+
+def quantize_col(emb_col: str) -> Column:
+    """array<long> quantized embedding (see module docstring)."""
+    return F.expr(
+        f"transform({emb_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {EMB_SCALE} + 0.5) AS BIGINT))"
+    )
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+
+def _norm2(a: str) -> Column:
+    return F.expr(
+        f"aggregate({a}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+
+
+def with_quantized(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    return (df.withColumn("qv", quantize_col(emb_col))
+            .withColumn("n2", _norm2("qv")))
+
+
+def cosine_expr() -> Column:
+    """cosine between pre-quantized qa/qb with norms na/nb."""
+    return (_dot("qa", "qb").cast("double")
+            / (F.sqrt(F.col("na").cast("double"))
+               * F.sqrt(F.col("nb").cast("double"))))
+
+
+def cosine_topk(df: DataFrame, queries: DataFrame, k: int,
+                id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """``query_id, rank, neighbor_id`` — exact brute-force cosine top-k.
+    ``queries`` is a (small) subset of rows of ``df``; it is broadcast, the
+    corpus is scanned once, ranking via a window per query."""
+    from pyspark.sql.window import Window
+
+    corpus = with_quantized(df, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qv").alias("qb"), F.col("n2").alias("nb"))
+    qs = with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qa"), F.col("n2").alias("na"))
+    joined = (corpus.crossJoin(F.broadcast(qs))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos", cosine_expr()))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id"))
+
+
+def cosine_dup_pairs(df: DataFrame, threshold: float,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> DataFrame:
+    """``a, b`` pairs with cosine >= threshold (a < b) — embedding near-dup
+    detection. Self-join formulation; at scale, restrict with LSH buckets
+    first (see ann_buckets)."""
+    q = with_quantized(df, emb_col)
+    l = q.select(F.col(id_col).alias("a"), F.col("qv").alias("qa"),
+                 F.col("n2").alias("na"))
+    r = q.select(F.col(id_col).alias("b"), F.col("qv").alias("qb"),
+                 F.col("n2").alias("nb"))
+    return (l.crossJoin(r).where(F.col("a") < F.col("b"))
+            .withColumn("cos", cosine_expr())
+            .where(F.col("cos") >= threshold)
+            .select("a", "b"))
+
+
+def ann_buckets(df: DataFrame, id_col: str = "vec_id",
+                emb_col: str = "embedding") -> DataFrame:
+    """``id, bucket`` — 16-bit random-hyperplane LSH bucket per vector,
+    computed as a vectorized Arrow batch matmul against the deterministic
+    integer plane matrix (textconf.ann_plane_weights)."""
+    planes = ann_plane_weights()  # (P, D) int64
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.int64) for v in qv])
+        dots = m @ planes.T                     # exact int64 (fits: 2^45)
+        bits = (dots > 0).astype(np.int64)
+        vals = (bits << np.arange(ANN_PLANES, dtype=np.int64)).sum(axis=1)
+        return pd.Series(vals)
+
+    q = with_quantized(df, emb_col)
+    return q.select(F.col(id_col).alias("id"),
+                    bucket_udf(F.col("qv")).alias("bucket"))
+
+
+def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """``query_id, rank, neighbor_id`` — top-k among same-bucket candidates
+    only (sublinear at scale; recall measured in tests vs brute force)."""
+    from pyspark.sql.window import Window
+
+    buckets = ann_buckets(df, id_col, emb_col)
+    q = with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qa"),
+        F.col("n2").alias("na"))
+    qb = buckets.withColumnRenamed("id", "query_id")
+    corpus = with_quantized(df, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"))
+    cb = buckets.withColumnRenamed("id", "neighbor_id")
+    cand = (
+        q.join(F.broadcast(qb), on="query_id")
+        .join(cb.join(corpus, on="neighbor_id"), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id"))

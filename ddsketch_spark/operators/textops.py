@@ -1,0 +1,237 @@
+"""Text-analysis + deduplication operators over document tables — the
+training-data-pipeline layer (exact dedup, MinHash+LSH, SimHash, n-gram
+Jaccard, language-ID, quality scoring, token counts, fingerprints).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — no
+Python UDFs — so the hot path stays in whole-stage codegen and every
+aggregation gets native map-side partial aggregation. All outputs are
+deterministic integers/strings (or doubles produced by a fixed float
+expression), mirrored exactly by the DuckDB oracle generators in
+:mod:`ddsketch_spark.oracles` via the shared constants in
+:mod:`ddsketch_spark.textconf`.
+
+Scale notes (100 TB):
+- shingle/token explodes multiply rows but feed straight into partial-agg
+  ``groupBy(min/sum)`` — shuffle volume is O(docs x H), not O(shingles);
+- LSH candidate generation is an equi-join on (band, signature) — a plain
+  shuffle-hash/sort-merge join Spark can also skew-split with AQE;
+- exact Jaccard runs only on LSH candidates, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ddsketch_spark.core.hashing import spark_h64
+from ddsketch_spark.textconf import (
+    LANGID_LANGS, LANGID_STOPWORDS, LSH_BANDS, LSH_ROWS, MINHASH_AB,
+    MINHASH_H, QUALITY_STOPWORDS, QUALITY_WEIGHTS, SHINGLE_K, SIMHASH_BITS,
+    _P31, _P61,
+)
+
+
+# ------------------------------------------------------------------ shingles
+
+def shingles_col(text_col: str, k: int = SHINGLE_K) -> Column:
+    """Array of character k-shingles (whole text if shorter than k)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+
+
+# ------------------------------------------------------------------ exact dedup
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """``keep_id, n_copies`` — one row per distinct text; keep_id is the
+    smallest id (deterministic survivor pick). Plain hash aggregate."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """``id, s0..s{H-1}`` — minhash signature via shingle-hash explode +
+    native partial-agg min per hash function."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(text_col)).alias("sh"),
+    ).select(id_col, (spark_h64("sh") % _P31).alias("s"))
+    aggs = [
+        F.min((F.lit(a) * F.col("s") + F.lit(b)) % F.lit(_P61)).alias(f"s{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``id, band, bsig`` — md5 of each band's comma-joined signature rows."""
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [F.col(f"s{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_cols.append(F.md5(F.concat_ws(",", *parts).cast("binary")))
+    stack_args = ", ".join(
+        f"{b}, b{b}" for b in range(LSH_BANDS))
+    wide = sigs.select(
+        id_col, *[c.alias(f"b{b}") for b, c in enumerate(band_cols)])
+    return wide.select(
+        id_col,
+        F.expr(f"stack({LSH_BANDS}, {stack_args}) as (band, bsig)"),
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """``a, b, bands_shared`` — candidate near-duplicate pairs sharing at
+    least one LSH band (a < b)."""
+    bands = lsh_bands(minhash_signatures(df, id_col, text_col), id_col)
+    l = bands.select(F.col(id_col).alias("a"), "band", "bsig")
+    r = bands.select(F.col(id_col).alias("b"), "band", "bsig")
+    return (
+        l.join(r, on=["band", "bsig"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("bands_shared"))
+    )
+
+
+# ------------------------------------------------------------------ jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact shingle-set Jaccard for candidate ``(a, b)`` pairs:
+    ``a, b, jacc`` (rounded to 6 dp). Distinct-shingle join — candidates
+    only, never the full cross product."""
+    sh = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(shingles_col(text_col)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("id", "a"), on="a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"),
+              on="b")
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.select("a", "b")
+        .join(inter, on=["a", "b"], how="left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), on="a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), on="b")
+        .select(
+            "a", "b",
+            F.round(F.col("inter").cast("double")
+                    / (F.col("sza") + F.col("szb") - F.col("inter")), 6)
+            .alias("jacc"))
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """``id, simhash`` — 32-bit SimHash over whitespace tokens (bit i set
+    iff the signed sum of token-hash bit i is positive)."""
+    powers_sql = ",".join(f"{1 << i}L" for i in range(SIMHASH_BITS))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(id_col, spark_h64("tok").alias("h"))
+    bits = toks.select(
+        id_col, "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+    ).select(
+        id_col, "i",
+        # integer div keeps full precision (h has 60 bits — no doubles)
+        F.expr(f"((h div element_at(array({powers_sql}), i + 1)) % 2)"
+               " * 2 - 1").alias("contrib"),
+    )
+    return (
+        bits.groupBy(id_col, "i").agg(F.sum("contrib").alias("s"))
+        .select(id_col, "i", "s")
+        .select(id_col,
+                F.when(F.col("s") > 0,
+                       F.expr(f"element_at(array({powers_sql}), i + 1)"))
+                .otherwise(F.lit(0)).alias("bit"))
+        .groupBy(id_col).agg(F.sum("bit").alias("simhash"))
+    )
+
+
+# ------------------------------------------------------------------ text metrics
+
+def token_count_col(text_col: str) -> Column:
+    """Tokens in single-space-separated text: spaces + 1 (0 for empty)."""
+    t = F.col(text_col)
+    return (F.when(F.length(t) == 0, F.lit(0))
+            .otherwise(F.length(t)
+                       - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
+            .cast("long"))
+
+
+def _occurrences(padded: Column, word: str) -> Column:
+    pat = f" {word} "
+    return ((F.length(padded)
+             - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))).cast("long")
+
+
+def langid_col(text_col: str) -> Column:
+    """Heuristic language-ID: argmax of per-language stopword occurrence
+    counts; ties go to the lexicographically smallest language."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum_cols([_occurrences(padded, w) for w in LANGID_STOPWORDS[lang]])
+        for lang in LANGID_LANGS
+    }
+    mx = F.greatest(*scores.values())
+    # first-match CASE in sorted language order == lexicographic tie-break
+    expr = None
+    for lang in LANGID_LANGS:
+        cond = scores[lang] == mx
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def quality_score_col(text_col: str) -> Column:
+    """Composite quality heuristic in [0, ~1]:
+    ``w1*alpha_ratio + w2*stopword_ratio + w3*(1 - digit_ratio) +
+    w4*space_ratio`` rounded to 6 dp (fixed left-assoc float expression,
+    mirrored exactly in SQL)."""
+    t = F.col(text_col)
+    ln = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^a-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+    space = (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))).cast("double")
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    stop = sum_cols([_occurrences(padded, w) for w in QUALITY_STOPWORDS]).cast("double")
+    toks = token_count_col(text_col).cast("double")
+    w1, w2, w3, w4 = QUALITY_WEIGHTS
+    score = (F.lit(w1) * (alpha / ln)
+             + F.lit(w2) * (stop / toks)
+             + F.lit(w3) * (F.lit(1.0) - digit / ln)
+             + F.lit(w4) * (space / ln))
+    return F.when(ln > 0, F.round(score, 6)).otherwise(F.lit(0.0))
+
+
+def fingerprint_col(text_col: str) -> Column:
+    """60-bit md5 content fingerprint of the raw text (shared h64)."""
+    return spark_h64(text_col)

@@ -337,3 +337,267 @@ def bound_rows_sql(qs: Sequence[float]) -> str:
     yields ok=FALSE and the hash compare fails."""
     rows = ", ".join(f"({_lit(float(q))}, TRUE)" for q in qs)
     return f"SELECT q, ok FROM (VALUES {rows}) t(q, ok)"
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity oracles — exact SQL mirrors of
+# operators/textops.py and operators/similarity.py, driven by the shared
+# constants in ddsketch_spark/textconf.py (single source of truth).
+# ---------------------------------------------------------------------------
+
+from ddsketch_spark.textconf import (  # noqa: E402
+    ANN_PLANES, EMB_SCALE, LANGID_LANGS, LANGID_STOPWORDS, LSH_BANDS,
+    LSH_ROWS, MINHASH_AB, MINHASH_H, QUALITY_STOPWORDS, QUALITY_WEIGHTS,
+    SHINGLE_K, SIMHASH_BITS, _P31, _P61, ann_plane_weights,
+)
+
+
+def mirrored_docs_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", offset: int = 1_000_000) -> str:
+    """Subquery doubling the corpus with exact duplicates at id+offset —
+    guarantees the dedup queries have positives; applied identically on the
+    Spark side (queries.mirrored_docs)."""
+    return (f"(SELECT {id_col} AS id, {text_col} AS t FROM {table} "
+            f"UNION ALL SELECT {id_col} + {offset} AS id, {text_col} AS t "
+            f"FROM {table})")
+
+
+def dedup_exact_sql(docs_sql: str) -> str:
+    return (f"SELECT CAST(min(id) AS BIGINT) AS keep_id, "
+            f"CAST(count(*) AS BIGINT) AS n_copies FROM {docs_sql} d "
+            f"GROUP BY t")
+
+
+def _minhash_ctes(docs_sql: str) -> str:
+    """CTE chain docs -> sh -> sigs -> bands (mirrors textops.minhash)."""
+    k = SHINGLE_K
+    sig_cols = ", ".join(
+        f"min(({a} * s + {b}) % {_P61}) AS s{j}"
+        for j, (a, b) in enumerate(MINHASH_AB))
+    band_rows = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"s{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_rows.append(
+            f"SELECT id, {b} AS band, md5(concat_ws(',', {cols})) AS bsig "
+            f"FROM sigs")
+    bands = " UNION ALL ".join(band_rows)
+    # the range *table function* can't take lateral column bounds in
+    # DuckDB; the scalar list-returning range + unnest can.
+    return f"""
+docs AS (SELECT id, t FROM {docs_sql} dsrc),
+pos AS (
+  SELECT id, t,
+         unnest(range(1, greatest(length(t) - {k} + 1, 1) + 1)) AS i
+  FROM docs
+),
+sh AS (
+  SELECT id, ({duckdb_h64(f'substr(t, CAST(i AS INTEGER), {k})')} % {_P31}) AS s
+  FROM pos
+),
+sigs AS (SELECT id, {sig_cols} FROM sh GROUP BY id),
+bands AS ({bands})"""
+
+
+def minhash_pairs_sql(docs_sql: str) -> str:
+    """Rows ``a, b, bands_shared`` (a < b)."""
+    return f"""
+WITH {_minhash_ctes(docs_sql)}
+SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS bands_shared
+FROM bands l JOIN bands r ON l.band = r.band AND l.bsig = r.bsig
+WHERE l.id < r.id
+GROUP BY l.id, r.id
+"""
+
+
+def ngram_jaccard_sql(docs_sql: str) -> str:
+    """Rows ``a, b, jacc`` for the LSH candidate pairs."""
+    k = SHINGLE_K
+    return f"""
+WITH {_minhash_ctes(docs_sql)},
+pairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bsig = r.bsig
+  WHERE l.id < r.id GROUP BY l.id, r.id
+),
+shd AS (
+  SELECT DISTINCT id, substr(t, CAST(i AS INTEGER), {k}) AS sh
+  FROM pos
+),
+sizes AS (SELECT id, count(*) AS sz FROM shd GROUP BY id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p JOIN shd x ON x.id = p.a JOIN shd y ON y.id = p.b
+   AND x.sh = y.sh
+  GROUP BY p.a, p.b
+)
+SELECT p.a AS a, p.b AS b,
+       round(CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jacc
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes sa ON sa.id = p.a
+JOIN sizes sb ON sb.id = p.b
+"""
+
+
+def simhash_sql(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Rows ``doc_id, simhash`` — 32-bit token SimHash."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest(string_split({text_col}, ' ')) AS tok
+  FROM {table}
+),
+h AS (SELECT id, {duckdb_h64('tok')} AS h FROM toks),
+bits AS (
+  SELECT id, r.i AS i,
+         ((h // (CAST(1 AS BIGINT) << CAST(r.i AS INTEGER))) % 2) * 2 - 1 AS contrib
+  FROM h, range({SIMHASH_BITS}) r(i)
+),
+s AS (SELECT id, i, sum(contrib) AS s FROM bits GROUP BY id, i)
+SELECT id AS doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY id
+"""
+
+
+def _occ_sql(padded: str, word: str) -> str:
+    pat = f" {word} "
+    return (f"((length({padded}) - length(replace({padded}, '{pat}', '')))"
+            f" // {len(pat)})")
+
+
+def text_profile_sql(table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Rows ``doc_id, tokens, lang_pred, quality, fp`` — mirror of the four
+    text-metric column builders."""
+    t = text_col
+    padded = f"(' ' || {t} || ' ')"
+    toks = (f"(CASE WHEN length({t}) = 0 THEN 0 ELSE length({t})"
+            f" - length(replace({t}, ' ', '')) + 1 END)")
+    scores = {
+        lang: " + ".join(_occ_sql(padded, w) for w in LANGID_STOPWORDS[lang])
+        for lang in LANGID_LANGS
+    }
+    score_cols = ", ".join(f"({scores[l]}) AS sc_{l}" for l in LANGID_LANGS)
+    mx = "greatest(" + ", ".join(f"sc_{l}" for l in LANGID_LANGS) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN sc_{l} = {mx} THEN '{l}'" for l in LANGID_LANGS) + " END"
+    w1, w2, w3, w4 = QUALITY_WEIGHTS
+    stop = " + ".join(_occ_sql(padded, w) for w in QUALITY_STOPWORDS)
+    alpha = f"CAST(length(regexp_replace({t}, '[^a-z]', '', 'g')) AS DOUBLE)"
+    digit = f"CAST(length(regexp_replace({t}, '[^0-9]', '', 'g')) AS DOUBLE)"
+    space = f"CAST(length({t}) - length(replace({t}, ' ', '')) AS DOUBLE)"
+    ln = f"CAST(length({t}) AS DOUBLE)"
+    quality = (f"CASE WHEN length({t}) > 0 THEN round("
+               f"{_lit(w1)} * ({alpha} / {ln})"
+               f" + {_lit(w2)} * (CAST({stop} AS DOUBLE) / CAST({toks} AS DOUBLE))"
+               f" + {_lit(w3)} * (1.0 - {digit} / {ln})"
+               f" + {_lit(w4)} * ({space} / {ln}), 6) ELSE 0.0 END")
+    return f"""
+WITH scored AS (
+  SELECT {id_col} AS doc_id, {t} AS t,
+         CAST({toks} AS BIGINT) AS tokens,
+         {quality} AS quality,
+         {duckdb_h64(t)} AS fp,
+         {score_cols}
+  FROM {table}
+)
+SELECT doc_id, tokens, {lang_case} AS lang_pred, quality, fp
+FROM scored
+"""
+
+
+# ------------------------------------------------------------- embeddings
+
+_QUANT = (f"list_transform({{col}}, x -> CAST(floor(CAST(x AS DOUBLE)"
+          f" * {EMB_SCALE} + 0.5) AS BIGINT))")
+
+
+def _emb_ctes(table: str = "embeddings", id_col: str = "vec_id",
+              emb_col: str = "embedding") -> str:
+    q = _QUANT.format(col=emb_col)
+    return f"""
+q AS (
+  SELECT {id_col} AS id, {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS n2
+  FROM {table}
+)"""
+
+
+_COS = ("CAST(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),"
+        " s -> s[1] * s[2])) AS BIGINT) AS DOUBLE)"
+        " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))")
+
+
+def ann_topk_sql(n_queries: int, k: int, table: str = "embeddings",
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> str:
+    """Rows ``query_id, rank, neighbor_id`` — brute-force cosine top-k for
+    queries with id < n_queries."""
+    return f"""
+WITH {_emb_ctes(table, id_col, emb_col)},
+scored AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id, {_COS} AS cos
+  FROM q a JOIN q b ON a.id <> b.id
+  WHERE a.id < {n_queries}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_dup_sql(threshold: float, table: str = "embeddings",
+                   id_col: str = "vec_id", emb_col: str = "embedding") -> str:
+    """Rows ``a, b`` with cosine >= threshold (a < b)."""
+    return f"""
+WITH {_emb_ctes(table, id_col, emb_col)}
+SELECT a.id AS a, b.id AS b
+FROM q a JOIN q b ON a.id < b.id
+WHERE {_COS} >= {_lit(threshold)}
+"""
+
+
+def _planes_values_sql() -> str:
+    w = ann_plane_weights()
+    rows = []
+    for p in range(w.shape[0]):
+        for d in range(w.shape[1]):
+            rows.append(f"({p},{d},{int(w[p, d])})")
+    return "planes(p, d, w) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def ann_lsh_topk_sql(n_queries: int, k: int, table: str = "embeddings",
+                     id_col: str = "vec_id", emb_col: str = "embedding") -> str:
+    """Rows ``query_id, rank, neighbor_id`` — top-k restricted to
+    same-LSH-bucket candidates (mirror of similarity.ann_lsh_topk)."""
+    return f"""
+WITH {_emb_ctes(table, id_col, emb_col)},
+{_planes_values_sql()},
+dots AS (
+  SELECT q.id, pl.p, sum(q.qv[pl.d + 1] * pl.w) AS dot
+  FROM q, planes pl GROUP BY q.id, pl.p
+),
+buckets AS (
+  SELECT id, CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY id
+),
+cand AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id, {_COS} AS cos
+  FROM q a JOIN buckets ba ON ba.id = a.id
+  JOIN buckets bb ON bb.bucket = ba.bucket
+  JOIN q b ON b.id = bb.id AND b.id <> a.id
+  WHERE a.id < {n_queries}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM ranked WHERE rank <= {k}
+"""

@@ -233,6 +233,78 @@ def tdigest_rank_bound_price(spark, sf_dir):
                              tdigest_mod.from_bytes, tdigest_quantile)
 
 
+# --------------------------------------------------------------------------
+# query catalog — training-data pipeline ops (dedup / text / similarity)
+# --------------------------------------------------------------------------
+
+from ddsketch_spark.operators.similarity import (  # noqa: E402
+    ann_lsh_topk, cosine_dup_pairs, cosine_topk,
+)
+from ddsketch_spark.operators.textops import (  # noqa: E402
+    exact_dedup, fingerprint_col, langid_col, minhash_lsh_pairs,
+    ngram_jaccard_pairs, quality_score_col, simhash, token_count_col,
+)
+
+MIRROR_OFFSET = 1_000_000
+ANN_N_QUERIES = 10
+ANN_K = 5
+COS_DUP_THRESHOLD = 0.4
+
+
+def mirrored_docs(spark, sf_dir):
+    """documents doubled with exact duplicates at doc_id+offset — the
+    positive set for the dedup queries (same augmentation in the oracle,
+    oracles.mirrored_docs_sql)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    return d.unionAll(d.select(F.col("id") + MIRROR_OFFSET, "t"))
+
+
+def dedup_exact_docs(spark, sf_dir):
+    return exact_dedup(mirrored_docs(spark, sf_dir), "id", "t")
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(mirrored_docs(spark, sf_dir), "id", "t")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = mirrored_docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "id", "t").select("a", "b")
+    return ngram_jaccard_pairs(docs, pairs, "id", "t")
+
+
+def dedup_simhash_docs(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_cosine_pairs(spark, sf_dir):
+    return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                            COS_DUP_THRESHOLD)
+
+
+def text_profile_docs(spark, sf_dir):
+    """doc_id, tokens, lang_pred, quality, fp — the text-analysis stack."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col("text").alias("tokens"),
+        langid_col("text").alias("lang_pred"),
+        quality_score_col("text").alias("quality"),
+        fingerprint_col("text").alias("fp"),
+    )
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < ANN_N_QUERIES), ANN_K)
+
+
+def ann_lsh_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < ANN_N_QUERIES), ANN_K)
+
+
 QUERIES: dict[str, Callable] = {
     "dd_quantiles_price_global": dd_quantiles_price_global,
     "dd_quantiles_price_by_flag": dd_quantiles_price_by_flag,
@@ -250,6 +322,14 @@ QUERIES: dict[str, Callable] = {
     "bloom_member_orderkeys": bloom_member_orderkeys,
     "kll_rank_bound_price": kll_rank_bound_price,
     "tdigest_rank_bound_price": tdigest_rank_bound_price,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_cosine_pairs": dedup_cosine_pairs,
+    "text_profile_docs": text_profile_docs,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -283,4 +363,12 @@ ORACLES: dict[str, str] = {
         "orders", "o_orderkey", 1 << 16, 5, BLOOM_PROBES),
     "kll_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
     "tdigest_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
+    "dedup_exact_docs": oracles.dedup_exact_sql(oracles.mirrored_docs_sql()),
+    "dedup_minhash_pairs": oracles.minhash_pairs_sql(oracles.mirrored_docs_sql()),
+    "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(oracles.mirrored_docs_sql()),
+    "dedup_simhash_docs": oracles.simhash_sql(),
+    "dedup_cosine_pairs": oracles.cosine_dup_sql(COS_DUP_THRESHOLD),
+    "text_profile_docs": oracles.text_profile_sql(),
+    "ann_cosine_topk": oracles.ann_topk_sql(ANN_N_QUERIES, ANN_K),
+    "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
 }

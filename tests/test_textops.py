@@ -1,0 +1,153 @@
+"""Training-data pipeline operators: dedup / text analysis / similarity.
+Unit-level semantics plus driver-contract oracle matches at sf0.001.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from ddsketch_spark.operators.textops import (
+    exact_dedup, langid_col, minhash_lsh_pairs, ngram_jaccard_pairs,
+    quality_score_col, simhash, token_count_col,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_semantics(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["aa", "bb", "aa", "cc", "aa"],
+    }))
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {1: 3, 2: 1, 4: 1}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "text": ["one two three", "solo", ""],
+    }))
+    got = [r[0] for r in df.select(token_count_col("text")).collect()]
+    assert got == [3, 1, 0]
+
+
+def test_langid_on_synthetic_webpages(spark):
+    """Planted stopwords make the heuristic recover the true lang for the
+    languages it knows (en/es/de/fr/zh)."""
+    from ddsketch_spark.sources.webpages import synthesize
+
+    docs = synthesize(spark, 2000, seed=42).where(
+        F.col("lang").isin("en", "es", "de", "fr", "zh"))
+    got = docs.select("lang", langid_col("text").alias("pred")).toPandas()
+    acc = (got["lang"] == got["pred"]).mean()
+    assert acc > 0.9, acc
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["abcdefghij" * 4, "abcdefghij" * 4, "KLMNOPQRST" * 4],
+    }))
+    pairs = spark.createDataFrame(pd.DataFrame({"a": [1, 1], "b": [2, 3]}))
+    got = {(r["a"], r["b"]): r["jacc"]
+           for r in ngram_jaccard_pairs(df, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_minhash_finds_exact_dups(spark):
+    base = ["x y z w " * 30 + f"tail{i}" for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(20)) + [100, 101],
+        "text": base + [base[0], base[1]],
+    }))
+    pairs = {(r["a"], r["b"]): r["bands_shared"]
+             for r in minhash_lsh_pairs(df).collect()}
+    assert pairs.get((0, 100)) == 4  # exact dup matches all bands
+    assert pairs.get((1, 101)) == 4
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps over the lazy dog " * 5,
+                 "the quick brown fox jumps over the lazy dog " * 5 + "extra",
+                 "completely different words entirely unrelated content here"],
+    }))
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got[1], got[2]) < ham(got[1], got[3])
+
+
+def test_ann_bruteforce_is_exact(spark):
+    rng = np.random.default_rng(5)
+    emb = pd.DataFrame({
+        "vec_id": range(100),
+        "embedding": [rng.normal(0, 0.2, 16).astype(np.float32).tolist()
+                      for _ in range(100)],
+    })
+    df = spark.createDataFrame(emb)
+    out = cosine_topk(df, df.where(F.col("vec_id") < 3), 5).toPandas()
+    # exact python oracle with identical quantization
+    q = np.array([np.floor(np.array(v, dtype=np.float64) * 1e6 + 0.5)
+                  for v in emb["embedding"]])
+    norms = (q * q).sum(axis=1)
+    for qid in range(3):
+        cos = (q @ q[qid]) / (np.sqrt(norms) * np.sqrt(norms[qid]))
+        order = sorted((-cos[j], j) for j in range(100) if j != qid)[:5]
+        want = [j for _, j in order]
+        got = list(out[out["query_id"] == qid].sort_values("rank")["neighbor_id"])
+        assert got == want, qid
+
+
+def test_ann_lsh_results_are_subset_of_ranked_neighbors(spark):
+    """LSH top-k returns correctly-ranked candidates (same scoring as
+    brute force, restricted to same-bucket vectors)."""
+    rng = np.random.default_rng(6)
+    emb = pd.DataFrame({
+        "vec_id": range(200),
+        "embedding": [rng.normal(0, 0.2, 64).astype(np.float32).tolist()
+                      for _ in range(200)],
+    })
+    df = spark.createDataFrame(emb)
+    qs = df.where(F.col("vec_id") < 5)
+    lsh = ann_lsh_topk(df, qs, 3).toPandas()
+    bf = cosine_topk(df, qs, 200).toPandas()  # full ranking
+    # every LSH result appears in the brute-force ranking, in order
+    for qid, grp in lsh.groupby("query_id"):
+        ranks = bf[bf["query_id"] == qid].set_index("neighbor_id")["rank"]
+        lsh_neighbors = list(grp.sort_values("rank")["neighbor_id"])
+        bf_ranks = [int(ranks[n]) for n in lsh_neighbors]
+        assert bf_ranks == sorted(bf_ranks), qid
+
+
+NEW_QUERIES = [
+    "dedup_exact_docs", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+    "dedup_simhash_docs", "dedup_cosine_pairs", "text_profile_docs",
+    "ann_cosine_topk", "ann_lsh_cosine_topk",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_oracle_sf0001(spark, name):
+    from ddsketch_spark.queries import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    a = QUERIES[name](spark, SF_DIR).toPandas()
+    b = con.execute(ORACLES[name]).fetchdf()
+    a = a[sorted(a.columns)].sort_values(by=sorted(a.columns)).reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(by=sorted(b.columns)).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        for x, y in zip(a[c], b[c]):
+            assert x == y or (pd.isna(x) and pd.isna(y)), (c, x, y)
