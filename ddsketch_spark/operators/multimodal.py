@@ -1,0 +1,210 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched ``mapInPandas``
+pipelines.
+
+The container has no image/audio codecs (Pillow/ffmpeg/torchaudio), so the
+actual decode step is STUBBED two ways (per the build brief):
+
+- ``decode_image`` raises ``NotImplementedError`` unless a real decoder is
+  importable (import-gated), documenting the exact integration point;
+- ``fake_decode_image`` / ``fake_frame_sample`` / ``fake_audio_features``
+  are deterministic stand-ins that parse our synthetic container format,
+  so the Spark-side plumbing — schema, projection, batch shape, partition
+  behavior — is fully real and tested.
+
+Synthetic container format (``FAKEIMG1`` / ``FAKEAUD1`` / ``FAKEVID1``):
+an 8-byte magic, big-endian uint16 dims/rates, then raw payload bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"FAKEIMG1", b"FAKEAUD1", b"FAKEVID1"
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),        # image | audio | video
+    StructField("payload", BinaryType(), False),
+    StructField("meta_width", IntegerType(), True),
+    StructField("meta_height", IntegerType(), True),
+    StructField("meta_rate", IntegerType(), True),   # sample/frame rate
+])
+
+
+# ------------------------------------------------------------- synthesis
+
+def encode_fake_image(width: int, height: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
+    return IMG_MAGIC + struct.pack(">HH", width, height) + px
+
+
+def encode_fake_audio(rate: int, n_samples: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    samples = (rng.normal(0, 4000, n_samples)).astype(np.int16).tobytes()
+    return AUD_MAGIC + struct.pack(">HI", rate, n_samples) + samples
+
+
+def encode_fake_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, width * height * n_frames, dtype=np.uint8).tobytes()
+    return VID_MAGIC + struct.pack(">HHH", width, height, n_frames) + px
+
+
+def synthesize_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic media table (one kind per residue class of media_id)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                i = int(i)
+                s = seed * 1_000_003 + i
+                if i % 3 == 0:
+                    w, h = 16 + i % 32, 16 + (i // 2) % 32
+                    rows.append((i, "image", encode_fake_image(w, h, s),
+                                 w, h, None))
+                elif i % 3 == 1:
+                    n = 1000 + (i % 500)
+                    rows.append((i, "audio", encode_fake_audio(16000, n, s),
+                                 None, None, 16000))
+                else:
+                    w, h, nf = 8 + i % 8, 8 + i % 8, 4 + i % 8
+                    rows.append((i, "video",
+                                 encode_fake_video(w, h, nf, s), w, h, 24))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(0, n_rows, 1).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------- decode stubs
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL decoder integration point: swap in Pillow here. The sandbox has
+    no codec libraries, so this raises unless one is importable."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "no image codec in this environment — use fake_decode_image for "
+            "the synthetic container format, or install Pillow") from e
+    raise NotImplementedError("real decoder wiring reserved for a codec-enabled env")
+
+
+def fake_decode_image(payload: bytes) -> np.ndarray:
+    assert payload[:8] == IMG_MAGIC, "not a FAKEIMG1 payload"
+    w, h = struct.unpack_from(">HH", payload, 8)
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=12).reshape(h, w)
+
+
+def fake_decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    assert payload[:8] == AUD_MAGIC, "not a FAKEAUD1 payload"
+    rate, n = struct.unpack_from(">HI", payload, 8)
+    return rate, np.frombuffer(payload, dtype=np.int16, count=n, offset=14)
+
+
+def fake_decode_video(payload: bytes) -> np.ndarray:
+    assert payload[:8] == VID_MAGIC, "not a FAKEVID1 payload"
+    w, h, nf = struct.unpack_from(">HHH", payload, 8)
+    return (np.frombuffer(payload, dtype=np.uint8, count=w * h * nf, offset=14)
+            .reshape(nf, h, w))
+
+
+# ------------------------------------------------------------- pipelines
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("feature", ArrayType(DoubleType()), False),
+])
+
+
+def extract_features(media: DataFrame, batch_feature_dim: int = 8) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas``: mean-pooled payload
+    statistics per modality (the deterministic stand-in for an encoder).
+    Projection keeps only (media_id, kind, payload) across the
+    JVM->Python boundary."""
+    dim = batch_feature_dim
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                raw = bytes(payload)
+                if kind == "image":
+                    a = fake_decode_image(raw).astype(np.float64).ravel()
+                elif kind == "audio":
+                    a = fake_decode_audio(raw)[1].astype(np.float64)
+                else:
+                    a = fake_decode_video(raw).astype(np.float64).ravel()
+                chunks = np.array_split(a, dim)
+                out.append((int(mid), kind, len(raw),
+                            [float(c.mean()) if len(c) else 0.0 for c in chunks]))
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        feats, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("payload", BinaryType(), False),
+    StructField("meta_width", IntegerType(), False),
+    StructField("meta_height", IntegerType(), False),
+])
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of FAKEIMG1 payloads (deterministic)."""
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = fake_decode_image(bytes(payload))
+                h, w = img.shape
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                small = img[yi][:, xi]
+                enc = IMG_MAGIC + struct.pack(">HH", out_w, out_h) + small.tobytes()
+                out.append((int(mid), enc, out_w, out_h))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return (media.where(F.col("kind") == "image")
+            .select("media_id", "payload").mapInPandas(rs, schema=RESIZE_SCHEMA))
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), False),
+])
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling for FAKEVID1 payloads: one output row per kept frame
+    (UDTF-shaped mapInPandas)."""
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                vid = fake_decode_video(bytes(payload))
+                for idx in range(0, vid.shape[0], every):
+                    h, w = vid[idx].shape
+                    enc = IMG_MAGIC + struct.pack(">HH", w, h) + vid[idx].tobytes()
+                    out.append((int(mid), idx, enc))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return (media.where(F.col("kind") == "video")
+            .select("media_id", "payload").mapInPandas(fs, schema=FRAME_SCHEMA))
