@@ -25,12 +25,18 @@ def main() -> None:
 
     # headline set: full-pipeline representatives, not every catalog entry
     headline = [
-        "dd_quantiles_price_by_flag",   # 2-stage groupBy sketch over lineitem
+        "dd_quantiles_price_by_flag",   # JVM-native groupBy sketch (flagship)
         "dd_quantiles_price_global",    # global aggregate
         "dd_p50_weighted_price",        # weighted build
         "dd_reagg_p90_by_flag",         # pre-agg + re-aggregation (lifecycle B)
         "dd_trimmed_sum_price",         # trimmed extraction
         "dd_quantiles_events_by_type",  # second table
+        "hll_ndv_orderkeys",            # sibling sketch: HLL NDV
+        "cms_freq_event_types",         # sibling sketch: count-min
+        "kll_rank_bound_price",         # sibling sketch: KLL (Arrow pipeline)
+        "dedup_minhash_pairs",          # training-data op: MinHash+LSH
+        "text_profile_docs",            # training-data op: text analysis
+        "ann_cosine_topk",              # training-data op: similarity search
     ]
     headline = [q for q in headline if q in QUERIES]
 
