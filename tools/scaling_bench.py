@@ -38,6 +38,8 @@ from ddsketch_spark.functions.sketch_udfs import sketch_quantile
 cpus = int(sys.argv[1]); path = sys.argv[2]; runs = int(sys.argv[3])
 spark = get_spark("scaling-bench", master=f"local[{cpus}]",
                   shuffle_partitions=cpus)
+# smaller splits -> more waves -> smaller straggler tail at high core counts
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
 docs = spark.read.parquet(path)
 n = docs.count()  # warms the scan + file index
 
