@@ -1,0 +1,38 @@
+"""ddsketch_spark — PySpark-native mergeable-sketch analytics engine.
+
+Public API surface (see README.md for the full layout):
+
+- core kernels: DDSketch, HLL, CMS, Bloom, KLL, TDigest
+- aggregation: ddsketch / ddsketch_percentile / ddsketch_percentile_of /
+  ddsketch_avg / ddsketch_sum (+ *_from_sketches), sketch_agg (generic),
+  merge_sketches
+- extraction UDFs: sketch_quantile / sketch_rank_of / sketch_trimmed /
+  sketch_count / sketch_info / sketch_buckets / sketch_union / sketch_add
+"""
+
+from ddsketch_spark.core.bloom import Bloom
+from ddsketch_spark.core.cms import CMS
+from ddsketch_spark.core.ddsketch import (
+    DDSketch, param_buckets, param_info, union,
+)
+from ddsketch_spark.core.hll import HLL
+from ddsketch_spark.core.kll import KLL
+from ddsketch_spark.core.tdigest import TDigest
+from ddsketch_spark.operators.api import (
+    ddsketch, ddsketch_avg, ddsketch_avg_from_sketches, ddsketch_merge,
+    ddsketch_percentile, ddsketch_percentile_from_sketches,
+    ddsketch_percentile_of, ddsketch_percentile_of_from_sketches,
+    ddsketch_sum, ddsketch_sum_from_sketches,
+)
+from ddsketch_spark.operators.aggregate import merge_sketches, sketch_agg
+from ddsketch_spark.operators.native import ddsketch_agg_native
+
+__all__ = [
+    "Bloom", "CMS", "DDSketch", "HLL", "KLL", "TDigest",
+    "ddsketch", "ddsketch_agg_native", "ddsketch_avg",
+    "ddsketch_avg_from_sketches", "ddsketch_merge", "ddsketch_percentile",
+    "ddsketch_percentile_from_sketches", "ddsketch_percentile_of",
+    "ddsketch_percentile_of_from_sketches", "ddsketch_sum",
+    "ddsketch_sum_from_sketches", "merge_sketches", "param_buckets",
+    "param_info", "sketch_agg", "union",
+]

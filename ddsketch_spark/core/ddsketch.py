@@ -604,3 +604,63 @@ def union(a: DDSketch | None, b: DDSketch | None) -> DDSketch | None:
     if b is None:
         return a.copy()
     return a.copy().merge(b)
+
+
+def param_info(alpha: float) -> dict:
+    """Indexable range for an alpha without building a sketch —
+    ``ddsketch_info(alpha)`` (ddsketch.c:3300-3334)."""
+    validate_alpha(alpha)
+    _, _, min_idx, max_idx = mapping_params(alpha)
+    return {"min_indexable": min_idx, "max_indexable": max_idx}
+
+
+def param_buckets(alpha: float, min_value: float, max_value: float) -> list[dict]:
+    """Enumerate the buckets a value range would occupy — exact mirror of
+    ``ddsketch_buckets(alpha, min, max)`` (ddsketch.c:3343-3485): near-zero
+    endpoints clamp to +-min_indexable; a sign-crossing range walks the
+    negative store down to the switch index (the bucket of
+    min_indexable_value) and then the positive store up from that same
+    switch index (the switch bucket appears once per sign, like the
+    reference\'s +2 row count). Rows: index (ordinal), bucket_index,
+    lower, upper."""
+    validate_alpha(alpha)
+    _, mult, min_idx, max_idx = mapping_params(alpha)
+    if min_value > max_value:
+        raise ValueError(f"invalid range ({min_value:e} > {max_value:e})")
+    if abs(min_value) > max_idx or abs(max_value) > max_idx:
+        raise ValueError("value is outside indexable range")
+    if abs(min_value) < min_idx:
+        min_value = min_idx if max_value > 0 else -min_idx
+    if abs(max_value) < min_idx:
+        max_value = -min_idx if min_value > 0 else min_idx
+
+    def idx(v: float) -> int:
+        return int(map_index(np.array([abs(v)]), mult)[0])
+
+    rows: list[dict] = []
+
+    def emit(i: int, negative: bool) -> None:
+        lo = map_lower_bound(alpha, i)
+        hi = map_upper_bound(alpha, i)
+        if negative:
+            rows.append({"index": len(rows), "bucket_index": i,
+                         "lower": -hi, "upper": -lo})
+        else:
+            rows.append({"index": len(rows), "bucket_index": i,
+                         "lower": lo, "upper": hi})
+
+    if (min_value > 0) == (max_value > 0):
+        i0, i1 = idx(min_value), idx(max_value)
+        if max_value < 0:
+            for i in range(i0, i1 - 1, -1):
+                emit(i, True)
+        else:
+            for i in range(i0, i1 + 1):
+                emit(i, False)
+    else:
+        switch = idx(min_idx)
+        for i in range(idx(min_value), switch - 1, -1):
+            emit(i, True)
+        for i in range(switch, idx(max_value) + 1):
+            emit(i, False)
+    return rows

@@ -185,3 +185,23 @@ def sketch_from_string(col) -> Column:
         return s.map(lambda t: DDSketch.from_string(t).to_bytes()
                      if t is not None else None)
     return _p(col)
+
+
+def sketch_add_array(col, values_col,
+                     alpha: float = 0.01, nbuckets: int = 2048) -> Column:
+    """Bulk incremental insert — ddsketch_add(sketch, values float8[])
+    (ddsketch.c:2539-2595): amortizes the deserialize/reserialize over an
+    array of values. NULL sketch initializes fresh; NULLs in the array are
+    skipped."""
+    vcol = values_col if isinstance(values_col, Column) else F.col(values_col)
+
+    @F.pandas_udf(BinaryType())
+    def _aa(s: pd.Series, vs: pd.Series) -> pd.Series:
+        out = []
+        for b, arr in zip(s, vs):
+            sk = DDSketch.from_bytes(bytes(b)) if b is not None else DDSketch(alpha, nbuckets)
+            if arr is not None and len(arr):
+                sk.update(np.asarray(arr, dtype=np.float64))
+            out.append(sk.to_bytes() if sk.count > 0 else None)
+        return pd.Series(out, dtype=object)
+    return _aa(col, vcol)

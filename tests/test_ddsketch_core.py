@@ -252,3 +252,38 @@ def test_empty_sketch():
     assert math.isnan(float(s.quantile(0.5)))
     with pytest.raises(ValueError):
         s.to_bytes()
+
+
+def test_param_info_and_buckets():
+    from ddsketch_spark.core.ddsketch import (
+        map_index, mapping_params, param_buckets, param_info,
+    )
+
+    info = param_info(0.05)
+    gamma, mult, minidx, maxidx = mapping_params(0.05)
+    assert info["min_indexable"] == minidx
+    assert info["max_indexable"] == maxidx
+
+    # positive range: ascending contiguous buckets covering the range
+    rows = param_buckets(0.05, 1.0, 10.0)
+    assert rows[0]["lower"] < 1.0 <= rows[0]["upper"]
+    assert rows[-1]["lower"] < 10.0 <= rows[-1]["upper"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["bucket_index"] == a["bucket_index"] + 1
+        assert b["lower"] == a["upper"]
+
+    # negative range: bucket_index descending = value ascending
+    rn = param_buckets(0.05, -10.0, -1.0)
+    assert all(b["bucket_index"] == a["bucket_index"] - 1
+               for a, b in zip(rn, rn[1:]))
+    assert rn[0]["upper"] <= rn[-1]["upper"]
+
+    # crossing range: reference row-count formula (ddsketch.c:3425-3431)
+    switch = int(map_index(np.array([minidx]), mult)[0])
+    i2 = int(map_index(np.array([2.0]), mult)[0])
+    i3 = int(map_index(np.array([3.0]), mult)[0])
+    rc = param_buckets(0.05, -2.0, 3.0)
+    assert len(rc) == abs(i3 - switch) + abs(switch - i2) + 2
+
+    with pytest.raises(ValueError, match="invalid range"):
+        param_buckets(0.05, 5.0, 1.0)

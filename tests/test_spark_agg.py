@@ -148,3 +148,24 @@ def test_trimmed_api(data):
     lo, hi = np.quantile(allv, [0.25, 0.75])
     mid = allv[(allv >= lo) & (allv <= hi)].mean()
     assert abs(r["tavg"] - mid) / mid < 0.1
+
+
+def test_sketch_add_array_bulk_insert(spark):
+    from ddsketch_spark.functions.sketch_udfs import sketch_add_array
+
+    base = DDSketch(ALPHA, NB).update(np.array([1.0, 2.0, 3.0]))
+    one = spark.createDataFrame(
+        pd.DataFrame({"s": [base.to_bytes()],
+                      "vals": [[10.0, 20.0, 30.0]]}))
+    out = bytes(one.select(
+        sketch_add_array(F.col("s"), "vals", ALPHA, NB).alias("s2")
+    ).collect()[0]["s2"])
+    want = base.copy().update(np.array([10.0, 20.0, 30.0]))
+    assert DDSketch.from_bytes(out) == want
+    # NULL sketch initializes fresh (reference ddsketch_add semantics)
+    two = spark.createDataFrame(
+        pd.DataFrame({"s": [None], "vals": [[5.0, 6.0]]}))
+    out2 = bytes(two.select(
+        sketch_add_array(F.col("s"), "vals", ALPHA, NB).alias("s2")
+    ).collect()[0]["s2"])
+    assert DDSketch.from_bytes(out2) == DDSketch(ALPHA, NB).update(np.array([5.0, 6.0]))
