@@ -143,6 +143,15 @@ def dd_quantiles_events_by_type(spark, sf_dir):
                          keys=["event_type"])
 
 
+def dd_p90_events_hourly(spark, sf_dir):
+    """Time-bucketed sketch rollup: p90 of value by (hour-of-day, type) —
+    the composition shape of a per-window pre-aggregated sketch table."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts").cast("long"))
+    return quantile_rows(df, "value", 0.05, 1024, [0.9],
+                         keys=["hr", "event_type"])
+
+
 # --------------------------------------------------------------------------
 # query catalog — sibling sketches (HLL / count-min / Bloom / KLL / t-digest)
 # --------------------------------------------------------------------------
@@ -316,6 +325,7 @@ QUERIES: dict[str, Callable] = {
     "dd_trimmed_sum_price": dd_trimmed_sum_price,
     "dd_reagg_p90_by_flag": dd_reagg_p90_by_flag,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
+    "dd_p90_events_hourly": dd_p90_events_hourly,
     "hll_ndv_orderkeys": hll_ndv_orderkeys,
     "hll_ndv_users_by_type": hll_ndv_users_by_type,
     "cms_freq_event_types": cms_freq_event_types,
@@ -354,6 +364,10 @@ ORACLES: dict[str, str] = {
         "lineitem", "l_extendedprice", 0.01, [0.9], keys=["l_returnflag"]),
     "dd_quantiles_events_by_type": oracles.percentile_sql(
         "events", "value", 0.01, [0.5, 0.9], keys=["event_type"]),
+    "dd_p90_events_hourly": oracles.percentile_sql(
+        "(SELECT *, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr"
+        " FROM events) evh", "value", 0.05, [0.9],
+        keys=["hr", "event_type"]),
     "hll_ndv_orderkeys": oracles.hll_ndv_sql("orders", "o_orderkey", p=12),
     "hll_ndv_users_by_type": oracles.hll_ndv_sql(
         "events", "user_id", p=12, keys=["event_type"]),

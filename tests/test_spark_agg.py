@@ -169,3 +169,27 @@ def test_sketch_add_array_bulk_insert(spark):
         sketch_add_array(F.col("s"), "vals", ALPHA, NB).alias("s2")
     ).collect()[0]["s2"])
     assert DDSketch.from_bytes(out2) == DDSketch(ALPHA, NB).update(np.array([5.0, 6.0]))
+
+
+def test_sketch_table_storage_roundtrip(spark, tmp_path, data):
+    """Lifecycle B through real storage (README.md:121-124): write the
+    fine-grained sketch table partitioned by key (the Iceberg-layout
+    parquet fallback, sources/tables.py), read it back, merge up and
+    extract — identical to the direct build."""
+    from ddsketch_spark.functions.sketch_udfs import sketch_quantile
+    from ddsketch_spark.operators.aggregate import merge_sketches
+    from ddsketch_spark.sources.tables import read_table, write_table
+
+    df, pdf = data
+    fine = api.ddsketch(df.withColumn("k2", F.col("k") % 2), "v", ALPHA, NB,
+                        keys=["k", "k2"])
+    path = str(tmp_path / "sketch_table")
+    write_table(fine, path, partition_by=["k"])
+    stored = read_table(spark, path)
+    merged = merge_sketches(stored, "sketch", keys=["k"])
+    got = {r["k"]: bytes(r["sketch"]) for r in merged.collect()}
+    direct = {r["k"]: bytes(r["sketch"])
+              for r in api.ddsketch(df, "v", ALPHA, NB, keys=["k"]).collect()}
+    assert set(got) == set(direct)
+    for k in got:
+        assert DDSketch.from_bytes(got[k]) == DDSketch.from_bytes(direct[k]), k
