@@ -123,3 +123,138 @@ def ddsketch_agg_native(
 
     group_cols = keys if keys else [F.lit(0).alias("__g")]
     return buckets.groupBy(*group_cols).applyInPandas(assemble, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# native stage-1 for the hash-based siblings: register/counter computation
+# as JVM expressions + native partial aggregation; Python assembles the
+# final sketch from O(registers) rows per key. Same shuffle story as the
+# DDSketch path: bucket rows cross the wire, never raw rows.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from ddsketch_spark.core.bloom import Bloom
+from ddsketch_spark.core.cms import CMS
+from ddsketch_spark.core.hashing import H1_BITS, H64_BITS
+from ddsketch_spark.core.hll import HLL
+
+
+def _assemble_schema(df: DataFrame, keys: Sequence[str]) -> StructType:
+    return StructType(
+        [f for f in df.schema.fields if f.name in keys]
+        + [StructField("sketch", BinaryType(), False),
+           StructField("n", LongType(), False)]
+    )
+
+
+def _grouped(buckets: DataFrame, keys: Sequence[str], assemble, schema):
+    group_cols = list(keys) if keys else [F.lit(0).alias("__g")]
+    return buckets.groupBy(*group_cols).applyInPandas(assemble, schema=schema)
+
+
+def hll_agg_native(df: DataFrame, hash_col: str, p: int = 12,
+                   keys: Sequence[str] = ()) -> DataFrame:
+    """``keys..., sketch binary, n long`` — HLL over a pre-hashed int64
+    column (see core.hashing.spark_h64), registers computed as JVM
+    expressions: ``j = h % m``, ``rho = Q - length(bin(h div m))``
+    (h div m == 0 -> Q), aggregated with a native partial-max."""
+    keys = list(keys)
+    m = 1 << p
+    Q = H64_BITS - p + 1
+    h = F.col(hash_col)
+    j = (h % m).alias("__j")
+    wrem = F.expr(f"{hash_col} div {m}")  # integer div — h has 60 bits
+    rho = (F.when(wrem == 0, F.lit(Q))
+           .otherwise(F.lit(Q) - F.length(F.bin(wrem))))
+    buckets = (
+        df.where(h.isNotNull())
+        .select(*keys, j, rho.cast("int").alias("__rho"))
+        .groupBy(*keys, "__j")
+        .agg(F.max("__rho").alias("__r"), F.count(F.lit(1)).alias("__rows"))
+    )
+    out_schema = _assemble_schema(df, keys)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = HLL(p)
+        regs = np.zeros(m, dtype=np.uint8)
+        regs[pdf["__j"].to_numpy(dtype=np.int64)] = pdf["__r"].to_numpy(dtype=np.int64)
+        s.registers = regs
+        s.count = int(pdf["__rows"].sum())
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["sketch"] = [s.to_bytes()]
+        row["n"] = [s.count]
+        return pd.DataFrame(row)
+
+    return _grouped(buckets, keys, assemble, out_schema)
+
+
+def _positions_exprs(hash_col: str, k: int, width: int):
+    """(i, pos) explode for double hashing — JVM mirror of
+    core.hashing.positions."""
+    h1 = f"({hash_col} % {1 << H1_BITS})"
+    h2 = f"(2 * (({hash_col} div {1 << H1_BITS}) % {1 << (H1_BITS - 1)}) + 1)"
+    return F.expr(
+        f"explode(transform(sequence(0, {k - 1}),"
+        f" i -> struct(i AS i, ({h1} + i * {h2}) % {width} AS pos)))"
+    ).alias("ip")
+
+
+def cms_agg_native(df: DataFrame, hash_col: str, depth: int = 5,
+                   width: int = 2048, keys: Sequence[str] = (),
+                   weight_col: str | None = None) -> DataFrame:
+    """Count-min with JVM-side position explode + native partial-sum."""
+    keys = list(keys)
+    w = (F.coalesce(F.col(weight_col).cast("long"), F.lit(1)) if weight_col
+         else F.lit(1).cast("long"))
+    base = (df.where(F.col(hash_col).isNotNull())
+            .select(*keys, _positions_exprs(hash_col, depth, width),
+                    w.alias("__w")))
+    buckets = (
+        base.select(*keys, F.col("ip.i").alias("__i"),
+                    F.col("ip.pos").alias("__pos"), "__w")
+        .groupBy(*keys, "__i", "__pos")
+        .agg(F.sum("__w").alias("__c"), F.count(F.lit(1)).alias("__rows"))
+    )
+    out_schema = _assemble_schema(df, keys)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = CMS(depth, width)
+        s.table[pdf["__i"].to_numpy(dtype=np.int64),
+                pdf["__pos"].to_numpy(dtype=np.int64)] = (
+            pdf["__c"].to_numpy(dtype=np.int64))
+        # each input row contributes to `depth` position rows
+        s.count = int(pdf["__c"].sum()) // depth
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["sketch"] = [s.to_bytes()]
+        row["n"] = [int(pdf["__rows"].sum()) // depth]
+        return pd.DataFrame(row)
+
+    return _grouped(buckets, keys, assemble, out_schema)
+
+
+def bloom_agg_native(df: DataFrame, hash_col: str, nbits: int = 1 << 16,
+                     k: int = 5, keys: Sequence[str] = ()) -> DataFrame:
+    """Bloom with JVM-side position explode + native distinct."""
+    keys = list(keys)
+    base = (df.where(F.col(hash_col).isNotNull())
+            .select(*keys, _positions_exprs(hash_col, k, nbits)))
+    rows_per_key = (df.where(F.col(hash_col).isNotNull())
+                    .groupBy(*(keys if keys else [F.lit(0).alias("__g0")]))
+                    .agg(F.count(F.lit(1)).alias("__nrows")))
+    positions = (base.select(*keys, F.col("ip.pos").alias("__pos"))
+                 .distinct())
+    out_schema = _assemble_schema(df, keys)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = Bloom(nbits, k)
+        s.bits[pdf["__pos"].to_numpy(dtype=np.int64)] = True
+        s.count = int(pdf["__nrows"].iloc[0])
+        row = {kk: [pdf[kk].iloc[0]] for kk in keys}
+        row["sketch"] = [s.to_bytes()]
+        row["n"] = [s.count]
+        return pd.DataFrame(row)
+
+    joined = (positions.join(rows_per_key, on=keys) if keys
+              else positions.crossJoin(F.broadcast(rows_per_key.drop("__g0"))))
+    return _grouped(joined, keys, assemble, out_schema)

@@ -33,6 +33,9 @@ from ddsketch_spark.functions.sketch_udfs import (
 )
 from ddsketch_spark.operators import api
 from ddsketch_spark.operators.aggregate import merge_sketches, sketch_agg
+from ddsketch_spark.operators.native import (
+    bloom_agg_native, cms_agg_native, hll_agg_native,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -165,8 +168,7 @@ RANK_BOUND_EPS = 0.05
 def hll_ndv_orderkeys(spark, sf_dir):
     """Global NDV of o_orderkey via HLL(p=12); hash computed JVM-side."""
     df = _t(spark, sf_dir, "orders").select(spark_h64("o_orderkey").alias("h"))
-    built = sketch_agg(df, "h", factory=lambda: HLL(12),
-                       from_bytes=hll_mod.from_bytes)
+    built = hll_agg_native(df, "h", p=12)
     return built.select(F.round(hll_estimate(F.col("sketch")), 4).alias("ndv_est"))
 
 
@@ -174,8 +176,7 @@ def hll_ndv_users_by_type(spark, sf_dir):
     """Per-event-type NDV of user_id (small-range linear-counting path)."""
     df = _t(spark, sf_dir, "events").select(
         "event_type", spark_h64("user_id").alias("h"))
-    built = sketch_agg(df, "h", keys=["event_type"],
-                       factory=lambda: HLL(12), from_bytes=hll_mod.from_bytes)
+    built = hll_agg_native(df, "h", p=12, keys=["event_type"])
     return built.select(
         "event_type", F.round(hll_estimate(F.col("sketch")), 4).alias("ndv_est"))
 
@@ -190,8 +191,7 @@ def _explode_probes(built, probes, est_col, out_name):
 def cms_freq_event_types(spark, sf_dir):
     """Count-min frequency estimates for the five event types."""
     df = _t(spark, sf_dir, "events").select(spark_h64("event_type").alias("h"))
-    built = sketch_agg(df, "h", factory=lambda: CMS(5, 2048),
-                       from_bytes=cms_mod.from_bytes)
+    built = cms_agg_native(df, "h", depth=5, width=2048)
     est = cms_estimate(F.col("sketch"), [py_h64(p) for p in CMS_PROBES])
     return _explode_probes(built, CMS_PROBES, est, "freq")
 
@@ -199,8 +199,7 @@ def cms_freq_event_types(spark, sf_dir):
 def bloom_member_orderkeys(spark, sf_dir):
     """Bloom membership of probe order keys (present + absent mixes)."""
     df = _t(spark, sf_dir, "orders").select(spark_h64("o_orderkey").alias("h"))
-    built = sketch_agg(df, "h", factory=lambda: Bloom(1 << 16, 5),
-                       from_bytes=bloom_mod.from_bytes)
+    built = bloom_agg_native(df, "h", nbits=1 << 16, k=5)
     est = bloom_contains(F.col("sketch"), [py_h64(p) for p in BLOOM_PROBES])
     return _explode_probes(built, BLOOM_PROBES, est, "member")
 

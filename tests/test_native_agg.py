@@ -133,3 +133,56 @@ def test_api_default_is_native_and_matches_python(data):
     am = {r["k"]: bytes(r["sketch"]) for r in a}
     bm = {r["k"]: bytes(r["sketch"]) for r in b}
     assert am == bm
+
+
+# ------------------------------------------------------- sibling natives
+
+def test_hll_native_equals_kernel(spark):
+    from ddsketch_spark.core.hashing import py_h64, spark_h64
+    from ddsketch_spark.core.hll import HLL
+    from ddsketch_spark.operators.native import hll_agg_native
+
+    pdf = pd.DataFrame({"k": [i % 3 for i in range(4000)],
+                        "s": [f"item-{i % 700}" for i in range(4000)]})
+    df = (spark.createDataFrame(pdf).repartition(5)
+          .select("k", spark_h64("s").alias("h")))
+    rows = hll_agg_native(df, "h", p=12, keys=["k"]).collect()
+    assert len(rows) == 3
+    for r in rows:
+        sub = pdf[pdf["k"] == r["k"]]
+        want = HLL(12).update(np.array([py_h64(s) for s in sub["s"]],
+                                       dtype=np.int64))
+        got = HLL.from_bytes(bytes(r["sketch"]))
+        assert got == want and got.estimate() == want.estimate()
+        assert r["n"] == len(sub)
+
+
+def test_cms_native_equals_kernel(spark):
+    from ddsketch_spark.core.cms import CMS
+    from ddsketch_spark.core.hashing import py_h64, spark_h64
+    from ddsketch_spark.operators.native import cms_agg_native
+
+    pdf = pd.DataFrame({"s": [f"w-{i % 50}" for i in range(3000)]})
+    df = spark.createDataFrame(pdf).repartition(4).select(
+        spark_h64("s").alias("h"))
+    out = cms_agg_native(df, "h", depth=4, width=512).collect()
+    got = CMS.from_bytes(bytes(out[0]["sketch"]))
+    want = CMS(4, 512).update(np.array([py_h64(s) for s in pdf["s"]],
+                                       dtype=np.int64))
+    assert got == want and got.count == want.count
+    assert out[0]["n"] == len(pdf)
+
+
+def test_bloom_native_equals_kernel(spark):
+    from ddsketch_spark.core.bloom import Bloom
+    from ddsketch_spark.core.hashing import py_h64, spark_h64
+    from ddsketch_spark.operators.native import bloom_agg_native
+
+    pdf = pd.DataFrame({"s": [f"u-{i}" for i in range(2000)]})
+    df = spark.createDataFrame(pdf).repartition(4).select(
+        spark_h64("s").alias("h"))
+    out = bloom_agg_native(df, "h", nbits=1 << 14, k=5).collect()
+    got = Bloom.from_bytes(bytes(out[0]["sketch"]))
+    want = Bloom(1 << 14, 5).update(np.array([py_h64(s) for s in pdf["s"]],
+                                             dtype=np.int64))
+    assert got == want and got.count == want.count
