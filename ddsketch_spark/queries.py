@@ -146,6 +146,39 @@ def dd_quantiles_events_by_type(spark, sf_dir):
                          keys=["event_type"])
 
 
+RANK_XS = [25000.0, 50000.0, 75000.0]
+
+
+def dd_rank_array_price(spark, sf_dir):
+    """Aggregate #4: vector of ranks — rows (x, rank)."""
+    df = _t(spark, sf_dir, "lineitem")
+    built = api.ddsketch(df, "l_extendedprice", 0.05, 1024)
+    xarr = F.array(*[F.lit(x) for x in RANK_XS]).alias("x")
+    rarr = sketch_rank_of(F.col("sketch"), RANK_XS).alias("rank")
+    return (built.select(F.explode(F.arrays_zip(xarr, rarr)).alias("z"))
+            .select(F.col("z.x").alias("x"), F.col("z.rank").alias("rank")))
+
+
+def dd_rank_from_sketches_by_flag(spark, sf_dir):
+    """Aggregate #8: merge stored sketches, rank of x — must equal the
+    direct build (bucket counts are exact sums)."""
+    df = _t(spark, sf_dir, "lineitem")
+    fine = api.ddsketch(df, "l_extendedprice", 0.05, 1024,
+                        keys=["l_returnflag", "l_linestatus"])
+    return api.ddsketch_percentile_of_from_sketches(
+        fine, "sketch", 50000.0, keys=["l_returnflag"], alias="rank")
+
+
+def dd_trimmed_sum_from_sketches(spark, sf_dir):
+    """Aggregate #21: trimmed sum over merged stored sketches."""
+    df = _t(spark, sf_dir, "lineitem")
+    fine = api.ddsketch(df, "l_extendedprice", 0.05, 1024,
+                        keys=["l_linestatus"])
+    out = api.ddsketch_sum_from_sketches(fine, "sketch", 0.1, 0.9,
+                                         alias="raw")
+    return out.select(F.round(F.col("raw"), 4).alias("val"))
+
+
 def dd_p90_events_hourly(spark, sf_dir):
     """Time-bucketed sketch rollup: p90 of value by (hour-of-day, type) —
     the composition shape of a per-window pre-aggregated sketch table."""
@@ -325,6 +358,9 @@ QUERIES: dict[str, Callable] = {
     "dd_reagg_p90_by_flag": dd_reagg_p90_by_flag,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
     "dd_p90_events_hourly": dd_p90_events_hourly,
+    "dd_rank_array_price": dd_rank_array_price,
+    "dd_rank_from_sketches_by_flag": dd_rank_from_sketches_by_flag,
+    "dd_trimmed_sum_from_sketches": dd_trimmed_sum_from_sketches,
     "hll_ndv_orderkeys": hll_ndv_orderkeys,
     "hll_ndv_users_by_type": hll_ndv_users_by_type,
     "cms_freq_event_types": cms_freq_event_types,
@@ -367,6 +403,15 @@ ORACLES: dict[str, str] = {
         "(SELECT *, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr"
         " FROM events) evh", "value", 0.05, [0.9],
         keys=["hr", "event_type"]),
+    "dd_rank_array_price": " UNION ALL ".join(
+        f"SELECT {oracles._lit(x)} AS x, rank FROM ({oracles.rank_of_sql('lineitem', 'l_extendedprice', 0.05, x)}) r{i}"
+        for i, x in enumerate(RANK_XS)),
+    "dd_rank_from_sketches_by_flag": oracles.rank_of_sql(
+        "lineitem", "l_extendedprice", 0.05, 50000.0,
+        keys=["l_returnflag"]),
+    "dd_trimmed_sum_from_sketches": "SELECT round(val, 4) AS val FROM ("
+        + oracles.trimmed_sql("lineitem", "l_extendedprice", 0.05, 0.1,
+                              0.9, "sum") + ")",
     "hll_ndv_orderkeys": oracles.hll_ndv_sql("orders", "o_orderkey", p=12),
     "hll_ndv_users_by_type": oracles.hll_ndv_sql(
         "events", "user_id", p=12, keys=["event_type"]),
