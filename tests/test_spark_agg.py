@@ -193,3 +193,37 @@ def test_sketch_table_storage_roundtrip(spark, tmp_path, data):
     assert set(got) == set(direct)
     for k in got:
         assert DDSketch.from_bytes(got[k]) == DDSketch.from_bytes(direct[k]), k
+
+
+def test_sql_function_surface(spark, data):
+    """SQL users can query sketch tables like the reference's SQL users
+    (README.md:59-124) after register_sql_functions."""
+    from ddsketch_spark.functions.register import register_sql_functions
+
+    register_sql_functions(spark)
+    df, pdf = data
+    api.ddsketch(df, "v", ALPHA, NB, keys=["k"]).createOrReplaceTempView(
+        "sketches")
+    rows = spark.sql("""
+        SELECT k, ddsketch_percentile(sketch, 0.9) AS p90,
+               ddsketch_count(sketch) AS cnt,
+               ddsketch_percentile_of(sketch, 100.0) AS r100
+        FROM sketches ORDER BY k
+    """).collect()
+    for r in rows:
+        sub = pdf[pdf["k"] == r["k"]]["v"].dropna().to_numpy(dtype="float64")
+        want = DDSketch(ALPHA, NB).update(sub)
+        assert r["p90"] == float(want.quantile(0.9))
+        assert r["cnt"] == want.count
+        assert r["r100"] == float(want.rank_of(100.0))
+    # union + text round-trip through SQL
+    one = spark.sql("""
+        SELECT ddsketch_count(ddsketch_union(a.sketch, b.sketch)) AS c,
+               ddsketch_count(ddsketch_in(ddsketch_out(a.sketch))) AS rt
+        FROM (SELECT sketch FROM sketches WHERE k = 0) a
+        CROSS JOIN (SELECT sketch FROM sketches WHERE k = 1) b
+    """).collect()[0]
+    k0 = pdf[pdf["k"] == 0]["v"].dropna()
+    k1 = pdf[pdf["k"] == 1]["v"].dropna()
+    assert one["c"] == len(k0) + len(k1)
+    assert one["rt"] == len(k0)
