@@ -287,3 +287,52 @@ def test_param_info_and_buckets():
 
     with pytest.raises(ValueError, match="invalid range"):
         param_buckets(0.05, 5.0, 1.0)
+
+
+def test_union_randomized_stress():
+    """Port of test/sql/union.sql:16-77 — random sketch sizes, random merge
+    orders: any association/order of unions yields the identical sketch."""
+    from ddsketch_spark.core.ddsketch import union
+
+    rng = np.random.default_rng(23982)
+    sketches = []
+    for i in range(12):
+        n = int(rng.integers(1, 2000))
+        vals = rng.lognormal(2, 1.0, n) * rng.choice([1.0, -1.0])
+        sketches.append(DDSketch(0.05, 1024).update(vals))
+    base = None
+    for s in sketches:
+        base = union(base, s)
+    for trial in range(5):
+        order = rng.permutation(len(sketches))
+        # random association: fold left over a shuffled order
+        acc = None
+        for j in order:
+            acc = union(acc, sketches[j])
+        assert acc == base, trial
+        assert acc.to_bytes() == base.to_bytes()
+
+
+def test_null_semantics_matrix():
+    """Port of the NULL matrices (test/sql/ddsketch.sql:2715-2914):
+    leading NULLs don't initialize state, interior NULLs are skipped,
+    all-NULL input yields an empty sketch / NaN estimates, NULL weight
+    counts as 1."""
+    s = DDSketch(0.05, 1024)
+    s.update(np.array([np.nan, np.nan, 1.0, np.nan, 2.0]))
+    assert s.count == 2
+    t = DDSketch(0.05, 1024).update(np.array([1.0, 2.0]))
+    assert s == t
+
+    empty = DDSketch(0.05, 1024).update(np.array([np.nan, np.nan]))
+    assert empty.count == 0
+    assert np.isnan(empty.quantile(0.5))
+    assert np.isnan(empty.rank_of(1.0))
+    with pytest.raises(ValueError, match="empty"):
+        empty.to_bytes()
+
+    # NULL count => 1 (ddsketch.c:1148-1151)
+    w = DDSketch(0.05, 1024).update(np.array([1.0, 2.0]),
+                                    np.array([np.nan, 3.0]))
+    expanded = DDSketch(0.05, 1024).update(np.array([1.0, 2.0, 2.0, 2.0]))
+    assert w == expanded
