@@ -146,6 +146,15 @@ def dd_quantiles_events_by_type(spark, sf_dir):
                          keys=["event_type"])
 
 
+def dd_quantiles_price_centered(spark, sf_dir):
+    """Zero-straddling build (reference test/sql/ddsketch.sql:212-236):
+    shifting prices by the ~median exercises the negative store AND the
+    zero bucket through the whole driver path."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") - 51000.0).alias("vc"))
+    return quantile_rows(df, "vc", 0.05, 2048, [0.1, 0.5, 0.9])
+
+
 RANK_XS = [25000.0, 50000.0, 75000.0]
 
 
@@ -358,6 +367,7 @@ QUERIES: dict[str, Callable] = {
     "dd_reagg_p90_by_flag": dd_reagg_p90_by_flag,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
     "dd_p90_events_hourly": dd_p90_events_hourly,
+    "dd_quantiles_price_centered": dd_quantiles_price_centered,
     "dd_rank_array_price": dd_rank_array_price,
     "dd_rank_from_sketches_by_flag": dd_rank_from_sketches_by_flag,
     "dd_trimmed_sum_from_sketches": dd_trimmed_sum_from_sketches,
@@ -403,6 +413,9 @@ ORACLES: dict[str, str] = {
         "(SELECT *, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr"
         " FROM events) evh", "value", 0.05, [0.9],
         keys=["hr", "event_type"]),
+    "dd_quantiles_price_centered": oracles.percentile_sql(
+        "lineitem", "(l_extendedprice - 51000.0)", 0.05,
+        [0.1, 0.5, 0.9]),
     "dd_rank_array_price": " UNION ALL ".join(
         f"SELECT {oracles._lit(x)} AS x, rank FROM ({oracles.rank_of_sql('lineitem', 'l_extendedprice', 0.05, x)}) r{i}"
         for i, x in enumerate(RANK_XS)),
