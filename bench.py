@@ -52,12 +52,13 @@ def main() -> None:
         (F.col("id") % 7).alias("k"), (F.col("id") + 1.0).cast("double").alias("v"))
     sketch_agg(warm, "v", keys=["k"]).collect()
 
-    # min of 2 runs per query: the first run of a plan shape pays one-off
-    # codegen/broadcast costs that a long-running job amortizes
+    # min of 3 runs per query: the first run of a plan shape pays one-off
+    # codegen/broadcast costs that a long-running job amortizes, and the
+    # sandbox VM's CPU speed fluctuates — the minimum is the stable signal
     timings: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
