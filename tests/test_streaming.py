@@ -88,3 +88,47 @@ def test_stateful_quantiles_running_state(spark, tmp_path):
         want = DDSketch(0.01, 2048).update(grp["v"].to_numpy())
         assert latest.loc[k, "q0_5"] == pytest.approx(float(want.quantile(0.5)))
         assert latest.loc[k, "q0_9"] == pytest.approx(float(want.quantile(0.9)))
+
+
+def test_foreach_batch_windowed_keys(spark, tmp_path):
+    """Windowed streaming rollup: keying the maintainer by an event-time
+    bucket gives per-window sketches maintained incrementally — late rows
+    for an old window merge into that window's sketch on arrival (the
+    sketch-table analogue of watermarked windowed aggregation)."""
+    src = str(tmp_path / "wsrc")
+    state = str(tmp_path / "wstate")
+    ckpt = str(tmp_path / "wckpt")
+
+    rng = np.random.default_rng(20)
+    base = pd.Timestamp("2025-06-01")
+    def chunk(hours, seed):
+        r = np.random.default_rng(seed)
+        n = 1500
+        return pd.DataFrame({
+            "ts": [base + pd.Timedelta(hours=int(h), minutes=int(m))
+                   for h, m in zip(r.choice(hours, n), r.integers(0, 60, n))],
+            "v": np.exp(r.standard_normal(n)) * 10,
+        })
+
+    c1 = chunk([0, 1], 31)
+    spark.createDataFrame(c1).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("ts timestamp, v double").parquet(src)
+              .withColumn("hr", F.date_trunc("hour", "ts").cast("string")))
+    foreach_batch_maintainer(stream, state, ckpt, "v", ["hr"]).awaitTermination()
+
+    # second batch includes LATE rows for hour 0 plus a new hour 2
+    c2 = chunk([0, 2], 32)
+    spark.createDataFrame(c2).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("ts timestamp, v double").parquet(src)
+              .withColumn("hr", F.date_trunc("hour", "ts").cast("string")))
+    foreach_batch_maintainer(stream, state, ckpt, "v", ["hr"]).awaitTermination()
+
+    got = {r["hr"]: bytes(r["sketch"])
+           for r in spark.read.parquet(state).collect()}
+    both = pd.concat([c1, c2])
+    both["hr"] = both["ts"].dt.floor("h")
+    assert len(got) == 3  # hours 0, 1, 2
+    for hr, grp in both.groupby("hr"):
+        key = str(hr)
+        want = DDSketch(0.01, 2048).update(grp["v"].to_numpy())
+        assert DDSketch.from_bytes(got[key]) == want, key
