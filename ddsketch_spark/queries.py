@@ -188,6 +188,16 @@ def dd_trimmed_sum_from_sketches(spark, sf_dir):
     return out.select(F.round(F.col("raw"), 4).alias("val"))
 
 
+def dd_trimmed_avg_from_sketches(spark, sf_dir):
+    """Aggregate #18: trimmed mean over merged stored sketches."""
+    df = _t(spark, sf_dir, "lineitem")
+    fine = api.ddsketch(df, "l_extendedprice", 0.05, 1024,
+                        keys=["l_linestatus"])
+    out = api.ddsketch_avg_from_sketches(fine, "sketch", 0.2, 0.8,
+                                         alias="raw")
+    return out.select(F.round(F.col("raw"), 4).alias("val"))
+
+
 def dd_p90_events_hourly(spark, sf_dir):
     """Time-bucketed sketch rollup: p90 of value by (hour-of-day, type) —
     the composition shape of a per-window pre-aggregated sketch table."""
@@ -371,6 +381,7 @@ QUERIES: dict[str, Callable] = {
     "dd_rank_array_price": dd_rank_array_price,
     "dd_rank_from_sketches_by_flag": dd_rank_from_sketches_by_flag,
     "dd_trimmed_sum_from_sketches": dd_trimmed_sum_from_sketches,
+    "dd_trimmed_avg_from_sketches": dd_trimmed_avg_from_sketches,
     "hll_ndv_orderkeys": hll_ndv_orderkeys,
     "hll_ndv_users_by_type": hll_ndv_users_by_type,
     "cms_freq_event_types": cms_freq_event_types,
@@ -425,6 +436,9 @@ ORACLES: dict[str, str] = {
     "dd_trimmed_sum_from_sketches": "SELECT round(val, 4) AS val FROM ("
         + oracles.trimmed_sql("lineitem", "l_extendedprice", 0.05, 0.1,
                               0.9, "sum") + ")",
+    "dd_trimmed_avg_from_sketches": "SELECT round(val, 4) AS val FROM ("
+        + oracles.trimmed_sql("lineitem", "l_extendedprice", 0.05, 0.2,
+                              0.8, "avg") + ")",
     "hll_ndv_orderkeys": oracles.hll_ndv_sql("orders", "o_orderkey", p=12),
     "hll_ndv_users_by_type": oracles.hll_ndv_sql(
         "events", "user_id", p=12, keys=["event_type"]),
