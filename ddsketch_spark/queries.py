@@ -12,15 +12,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ddsketch_spark import oracles
-from ddsketch_spark.core import bloom as bloom_mod
-from ddsketch_spark.core import cms as cms_mod
-from ddsketch_spark.core import hll as hll_mod
 from ddsketch_spark.core import kll as kll_mod
 from ddsketch_spark.core import tdigest as tdigest_mod
-from ddsketch_spark.core.bloom import Bloom
-from ddsketch_spark.core.cms import CMS
 from ddsketch_spark.core.hashing import py_h64, spark_h64
-from ddsketch_spark.core.hll import HLL
 from ddsketch_spark.core.kll import KLL
 from ddsketch_spark.core.tdigest import TDigest
 from ddsketch_spark.functions.estimators import (
