@@ -82,6 +82,10 @@ def main() -> None:
         "cpus": cpus,
         "lineitem_rows": nrows,
         "flagship_rows_per_sec": flagship_tp,
+        # large-corpus throughput + N->4N scaling live in BENCH/BASELINE.md
+        # (64M synthesized web pages; 0.823 efficiency at 4->16 cores,
+        # peak 8.8M docs/sec at local[32]) — tools/scaling_bench.py
+        "scaling_evidence": "BENCH/BASELINE.md",
     }))
 
 
