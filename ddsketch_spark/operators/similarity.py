@@ -97,6 +97,29 @@ def cosine_dup_pairs(df: DataFrame, threshold: float,
             .select("a", "b"))
 
 
+def cosine_dup_pairs_lsh(df: DataFrame, threshold: float,
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs share an LSH
+    bucket (equi-join, sublinear) before the exact cosine filter —
+    vs the O(n^2) self-join of :func:`cosine_dup_pairs`. Recall is bounded
+    by bucket collision probability; near-identical vectors almost always
+    share all plane signs."""
+    buckets = ann_buckets(df, id_col, emb_col)
+    q = with_quantized(df, emb_col)
+    l = (q.select(F.col(id_col).alias("a"), F.col("qv").alias("qa"),
+                  F.col("n2").alias("na"))
+         .join(buckets.withColumnRenamed("id", "a"), on="a"))
+    r = (q.select(F.col(id_col).alias("b"), F.col("qv").alias("qb"),
+                  F.col("n2").alias("nb"))
+         .join(buckets.withColumnRenamed("id", "b"), on="b"))
+    return (l.join(r, on="bucket")
+            .where(F.col("a") < F.col("b"))
+            .withColumn("cos", cosine_expr())
+            .where(F.col("cos") >= threshold)
+            .select("a", "b"))
+
+
 def ann_buckets(df: DataFrame, id_col: str = "vec_id",
                 emb_col: str = "embedding") -> DataFrame:
     """``id, bucket`` — 16-bit random-hyperplane LSH bucket per vector,

@@ -601,3 +601,27 @@ ranked AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
 FROM ranked WHERE rank <= {k}
 """
+
+
+def cosine_dup_lsh_sql(threshold: float, table: str = "embeddings",
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> str:
+    """Rows ``a, b`` — LSH-bucket-restricted near-dup pairs (mirror of
+    similarity.cosine_dup_pairs_lsh)."""
+    return f"""
+WITH {_emb_ctes(table, id_col, emb_col)},
+{_planes_values_sql()},
+dots AS (
+  SELECT q.id, pl.p, sum(q.qv[pl.d + 1] * pl.w) AS dot
+  FROM q, planes pl GROUP BY q.id, pl.p
+),
+buckets AS (
+  SELECT id, CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY id
+)
+SELECT a.id AS a, b.id AS b
+FROM q a JOIN buckets ba ON ba.id = a.id
+JOIN buckets bb ON bb.bucket = ba.bucket
+JOIN q b ON b.id = bb.id AND a.id < b.id
+WHERE {_COS} >= {_lit(threshold)}
+"""

@@ -292,7 +292,7 @@ def tdigest_rank_bound_price(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 from ddsketch_spark.operators.similarity import (  # noqa: E402
-    ann_lsh_topk, cosine_dup_pairs, cosine_topk,
+    ann_lsh_topk, cosine_dup_pairs, cosine_dup_pairs_lsh, cosine_topk,
 )
 from ddsketch_spark.operators.textops import (  # noqa: E402
     exact_dedup, fingerprint_col, langid_col, minhash_lsh_pairs,
@@ -335,6 +335,12 @@ def dedup_simhash_docs(spark, sf_dir):
 def dedup_cosine_pairs(spark, sf_dir):
     return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"),
                             COS_DUP_THRESHOLD)
+
+
+def dedup_cosine_pairs_lsh(spark, sf_dir):
+    """Scale-path near-dup: LSH-bucket candidates then exact cosine."""
+    return cosine_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"),
+                                COS_DUP_THRESHOLD)
 
 
 def text_profile_docs(spark, sf_dir):
@@ -387,6 +393,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_cosine_pairs": dedup_cosine_pairs,
+    "dedup_cosine_pairs_lsh": dedup_cosine_pairs_lsh,
     "text_profile_docs": text_profile_docs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
@@ -447,6 +454,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(oracles.mirrored_docs_sql()),
     "dedup_simhash_docs": oracles.simhash_sql(),
     "dedup_cosine_pairs": oracles.cosine_dup_sql(COS_DUP_THRESHOLD),
+    "dedup_cosine_pairs_lsh": oracles.cosine_dup_lsh_sql(COS_DUP_THRESHOLD),
     "text_profile_docs": oracles.text_profile_sql(),
     "ann_cosine_topk": oracles.ann_topk_sql(ANN_N_QUERIES, ANN_K),
     "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
