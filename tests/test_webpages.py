@@ -133,3 +133,22 @@ def test_checkpoint_lineage_records(spark, tmp_path):
     assert lin["n"].sum() == 5_000
     assert (lin["wall_s"] > 0).all()
     assert set(lin["batch"]) == {0, 1}
+
+
+def test_job_html_bytes_metric(spark, tmp_path):
+    """The job is value-expression-parameterized: sketching
+    octet_length(html) by lang works through the same pipeline, and html
+    itself never crosses past the projection (plan check)."""
+    ckpt = str(tmp_path / "ckpt_html")
+    provider = range_batches(spark, 6_000, 2, seed=42)
+    out = run_job(spark, provider, ckpt, value_expr="octet_length(html)",
+                  n_batches=2, alpha=0.05, nbuckets=1024, qs=[0.5])
+    assert out["metrics"]["complete"]
+    res = out["result"].toPandas()
+    docs = synthesize(spark, 6_000, seed=42)
+    exact = docs.select("lang", F.octet_length("html").alias("v")).toPandas()
+    for lang, grp in exact.groupby("lang"):
+        v = np.sort(grp["v"].to_numpy(dtype=float))
+        est = float(res[(res["lang"] == lang) & (res["q"] == 0.5)]["est"].iloc[0])
+        ex = float(np.quantile(v, 0.5, method="lower"))
+        assert abs(est - ex) / ex <= 0.05 * 1.01, lang
