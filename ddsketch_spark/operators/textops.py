@@ -235,3 +235,35 @@ def quality_score_col(text_col: str) -> Column:
 def fingerprint_col(text_col: str) -> Column:
     """60-bit md5 content fingerprint of the raw text (shared h64)."""
     return spark_h64(text_col)
+
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_count_col(text_col: str) -> Column:
+    """BPE-ish tokenization count: lowercase word runs, digit runs, and
+    single non-alnum marks (a GPT-2-flavored pre-tokenizer simplified to a
+    regex both Java and RE2 interpret identically)."""
+    return F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+
+
+def rolling_fingerprint_col(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """``id, rfp`` — position-sensitive document fingerprint:
+    ``sum_i ascii(c_i) * w_i mod 2^61`` with ``w_i = (i*2654435761 mod 2^31) | 1``
+    (Knuth multiplicative position weights). Order-sensitive like a rolling
+    hash, exact integer math, and SQL-mirrorable per character."""
+    pos = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1))))
+        .alias("i"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        (F.ascii(F.substring(F.col(text_col), F.col("i"), 1)).cast("long")
+         * (((F.col("i") * F.lit(2654435761)) % F.lit(1 << 31))
+            .cast("long").bitwiseOR(F.lit(1)))).alias("term"),
+    )
+    return pos.groupBy(id_col).agg(
+        (F.sum("term") % F.lit((1 << 61) - 1)).alias("rfp"))

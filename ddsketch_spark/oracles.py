@@ -492,17 +492,34 @@ def text_profile_sql(table: str = "documents", id_col: str = "doc_id",
                f" + {_lit(w2)} * (CAST({stop} AS DOUBLE) / CAST({toks} AS DOUBLE))"
                f" + {_lit(w3)} * (1.0 - {digit} / {ln})"
                f" + {_lit(w4)} * ({space} / {ln}), 6) ELSE 0.0 END")
+    # mirrors of textops.bpe_token_count_col / rolling_fingerprint_col
+    bpe = (f"CAST(len(regexp_extract_all({t}, "
+           f"'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)")
     return f"""
 WITH scored AS (
   SELECT {id_col} AS doc_id, {t} AS t,
          CAST({toks} AS BIGINT) AS tokens,
+         {bpe} AS bpe_tokens,
          {quality} AS quality,
          {duckdb_h64(t)} AS fp,
          {score_cols}
   FROM {table}
+),
+chars AS (
+  SELECT {id_col} AS doc_id,
+         unnest(range(1, greatest(length({t}), 1) + 1)) AS i, {t} AS t
+  FROM {table}
+),
+rolling AS (
+  SELECT doc_id,
+         CAST(sum(ascii(substr(t, CAST(i AS INTEGER), 1))
+                  * (((i * 2654435761) % 2147483648) | 1)) AS BIGINT)
+         % {(1 << 61) - 1} AS rfp
+  FROM chars GROUP BY doc_id
 )
-SELECT doc_id, tokens, {lang_case} AS lang_pred, quality, fp
-FROM scored
+SELECT s.doc_id AS doc_id, s.tokens, s.bpe_tokens,
+       {lang_case} AS lang_pred, s.quality, s.fp, r.rfp AS rfp
+FROM scored s JOIN rolling r ON r.doc_id = s.doc_id
 """
 
 

@@ -295,8 +295,9 @@ from ddsketch_spark.operators.similarity import (  # noqa: E402
     ann_lsh_topk, cosine_dup_pairs, cosine_dup_pairs_lsh, cosine_topk,
 )
 from ddsketch_spark.operators.textops import (  # noqa: E402
-    exact_dedup, fingerprint_col, langid_col, minhash_lsh_pairs,
-    ngram_jaccard_pairs, quality_score_col, simhash, token_count_col,
+    bpe_token_count_col, exact_dedup, fingerprint_col, langid_col,
+    minhash_lsh_pairs, ngram_jaccard_pairs, quality_score_col,
+    rolling_fingerprint_col, simhash, token_count_col,
 )
 
 MIRROR_OFFSET = 1_000_000
@@ -344,15 +345,19 @@ def dedup_cosine_pairs_lsh(spark, sf_dir):
 
 
 def text_profile_docs(spark, sf_dir):
-    """doc_id, tokens, lang_pred, quality, fp — the text-analysis stack."""
+    """doc_id, tokens, bpe_tokens, lang_pred, quality, fp, rfp — the
+    text-analysis stack (whitespace + BPE-ish regex token counts, stopword
+    language-ID, composite quality, md5 + rolling fingerprints)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    prof = d.select(
         "doc_id",
         token_count_col("text").alias("tokens"),
+        bpe_token_count_col("text").alias("bpe_tokens"),
         langid_col("text").alias("lang_pred"),
         quality_score_col("text").alias("quality"),
         fingerprint_col("text").alias("fp"),
     )
+    return prof.join(rolling_fingerprint_col(d), on="doc_id")
 
 
 def ann_cosine_topk(spark, sf_dir):
