@@ -267,3 +267,31 @@ def rolling_fingerprint_col(df: DataFrame, id_col: str = "doc_id",
     )
     return pos.groupBy(id_col).agg(
         (F.sum("term") % F.lit((1 << 61) - 1)).alias("rfp"))
+
+
+def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """``a, b, hamming`` — near-dup pairs whose 32-bit SimHashes differ in
+    at most ``max_hamming`` bits. Candidates come from exact-match joins on
+    the four 8-bit bands (any pair within hamming 3 must agree on >= 1
+    band — pigeonhole), so the join is an equi-join, never all-pairs."""
+    sh = simhash(df, id_col, text_col)
+    band_cols = [((F.col("simhash") / (1 << (8 * b))).cast("long") % 256)
+                 .alias(f"bs{b}") for b in range(4)]
+    wide = sh.select(id_col, "simhash", *band_cols)
+    stack_args = ", ".join(f"{b}, bs{b}" for b in range(4))
+    bands = wide.select(
+        id_col, "simhash",
+        F.expr(f"stack(4, {stack_args}) as (band, bsig)"))
+    l = bands.select(F.col(id_col).alias("a"),
+                     F.col("simhash").alias("sh_a"), "band", "bsig")
+    r = bands.select(F.col(id_col).alias("b"),
+                     F.col("simhash").alias("sh_b"), "band", "bsig")
+    cand = (l.join(r, on=["band", "bsig"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "sh_a", "sh_b").distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -642,3 +642,36 @@ JOIN buckets bb ON bb.bucket = ba.bucket
 JOIN q b ON b.id = bb.id AND a.id < b.id
 WHERE {_COS} >= {_lit(threshold)}
 """
+
+
+def simhash_dup_sql(docs_sql: str, max_hamming: int = 3) -> str:
+    """Rows ``a, b, hamming`` — mirror of textops.simhash_dup_pairs over a
+    (id, t) docs subquery."""
+    bands = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band,"
+        f" ((simhash // {1 << (8 * b)}) % 256) AS bsig FROM sh"
+        for b in range(4))
+    return f"""
+WITH docs AS (SELECT id, t FROM {docs_sql} dsrc),
+toks AS (SELECT id, unnest(string_split(t, ' ')) AS tok FROM docs),
+h AS (SELECT id, {duckdb_h64('tok')} AS h FROM toks),
+bits AS (
+  SELECT id, r.i AS i,
+         ((h // (CAST(1 AS BIGINT) << CAST(r.i AS INTEGER))) % 2) * 2 - 1 AS contrib
+  FROM h, range({SIMHASH_BITS}) r(i)
+),
+s AS (SELECT id, i, sum(contrib) AS s FROM bits GROUP BY id, i),
+sh AS (
+  SELECT id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM s GROUP BY id
+),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b, l.simhash AS sha, r.simhash AS shb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bsig = r.bsig
+  WHERE l.id < r.id
+)
+SELECT a, b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= {max_hamming}
+"""

@@ -297,7 +297,7 @@ from ddsketch_spark.operators.similarity import (  # noqa: E402
 from ddsketch_spark.operators.textops import (  # noqa: E402
     bpe_token_count_col, exact_dedup, fingerprint_col, langid_col,
     minhash_lsh_pairs, ngram_jaccard_pairs, quality_score_col,
-    rolling_fingerprint_col, simhash, token_count_col,
+    rolling_fingerprint_col, simhash, simhash_dup_pairs, token_count_col,
 )
 
 MIRROR_OFFSET = 1_000_000
@@ -331,6 +331,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 def dedup_simhash_docs(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) over the mirrored corpus —
+    exact duplicates land at hamming 0."""
+    return simhash_dup_pairs(mirrored_docs(spark, sf_dir), 3, "id", "t")
 
 
 def dedup_cosine_pairs(spark, sf_dir):
@@ -397,6 +403,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_cosine_pairs": dedup_cosine_pairs,
     "dedup_cosine_pairs_lsh": dedup_cosine_pairs_lsh,
     "text_profile_docs": text_profile_docs,
@@ -458,6 +465,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(oracles.mirrored_docs_sql()),
     "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(oracles.mirrored_docs_sql()),
     "dedup_simhash_docs": oracles.simhash_sql(),
+    "dedup_simhash_pairs": oracles.simhash_dup_sql(oracles.mirrored_docs_sql()),
     "dedup_cosine_pairs": oracles.cosine_dup_sql(COS_DUP_THRESHOLD),
     "dedup_cosine_pairs_lsh": oracles.cosine_dup_lsh_sql(COS_DUP_THRESHOLD),
     "text_profile_docs": oracles.text_profile_sql(),
