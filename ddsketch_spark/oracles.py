@@ -278,9 +278,12 @@ def _double_hash_pos(width: int) -> str:
 
 
 def cms_freq_sql(table: str, expr: str, depth: int, width: int,
-                 probes: Sequence[str]) -> str:
+                 probes: Sequence[str], weight_expr: str | None = None) -> str:
     """Rows ``item, freq`` — mirror of core.cms.CMS.estimate() for literal
-    probe values (probe positions precomputed in Python, data side in SQL)."""
+    probe values (probe positions precomputed in Python, data side in SQL).
+    ``weight_expr`` makes it a weighted frequency sketch (sum of weights
+    instead of row counts)."""
+    w = f"CAST(COALESCE({weight_expr}, 1) AS BIGINT)" if weight_expr else "CAST(1 AS BIGINT)"
     probe_rows = []
     for item in probes:
         for i, p in enumerate(py_positions(str(item), depth, width)):
@@ -288,14 +291,14 @@ def cms_freq_sql(table: str, expr: str, depth: int, width: int,
     values = ", ".join(probe_rows)
     return f"""
 WITH hs AS (
-  SELECT {duckdb_h64(expr)} AS h FROM {table} WHERE {expr} IS NOT NULL
+  SELECT {duckdb_h64(expr)} AS h, {w} AS w FROM {table} WHERE {expr} IS NOT NULL
 ),
 pos AS (
-  SELECT r.i AS i, {_double_hash_pos(width)} AS p
+  SELECT r.i AS i, {_double_hash_pos(width)} AS p, w
   FROM hs, range({depth}) AS r(i)
 ),
 counters AS (
-  SELECT i, p, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY i, p
+  SELECT i, p, CAST(sum(w) AS BIGINT) AS c FROM pos GROUP BY i, p
 ),
 probes(item, i, p) AS (VALUES {values})
 SELECT pr.item AS item, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS freq

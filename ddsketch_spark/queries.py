@@ -242,6 +242,17 @@ def cms_freq_event_types(spark, sf_dir):
     return _explode_probes(built, CMS_PROBES, est, "freq")
 
 
+def cms_freq_weighted_event_types(spark, sf_dir):
+    """Weighted count-min: event-type frequency weighted by 1+(user_id%3)
+    (stand-in for bytes-weighted URL frequency at web scale)."""
+    df = _t(spark, sf_dir, "events").select(
+        spark_h64("event_type").alias("h"),
+        (F.lit(1) + F.col("user_id") % 3).cast("long").alias("w"))
+    built = cms_agg_native(df, "h", depth=5, width=2048, weight_col="w")
+    est = cms_estimate(F.col("sketch"), [py_h64(p) for p in CMS_PROBES])
+    return _explode_probes(built, CMS_PROBES, est, "freq")
+
+
 def bloom_member_orderkeys(spark, sf_dir):
     """Bloom membership of probe order keys (present + absent mixes)."""
     df = _t(spark, sf_dir, "orders").select(spark_h64("o_orderkey").alias("h"))
@@ -396,6 +407,7 @@ QUERIES: dict[str, Callable] = {
     "hll_ndv_orderkeys": hll_ndv_orderkeys,
     "hll_ndv_users_by_type": hll_ndv_users_by_type,
     "cms_freq_event_types": cms_freq_event_types,
+    "cms_freq_weighted_event_types": cms_freq_weighted_event_types,
     "bloom_member_orderkeys": bloom_member_orderkeys,
     "kll_rank_bound_price": kll_rank_bound_price,
     "tdigest_rank_bound_price": tdigest_rank_bound_price,
@@ -457,6 +469,9 @@ ORACLES: dict[str, str] = {
         "events", "user_id", p=12, keys=["event_type"]),
     "cms_freq_event_types": oracles.cms_freq_sql(
         "events", "event_type", 5, 2048, CMS_PROBES),
+    "cms_freq_weighted_event_types": oracles.cms_freq_sql(
+        "events", "event_type", 5, 2048, CMS_PROBES,
+        weight_expr="(1 + user_id % 3)"),
     "bloom_member_orderkeys": oracles.bloom_member_sql(
         "orders", "o_orderkey", 1 << 16, 5, BLOOM_PROBES),
     "kll_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
