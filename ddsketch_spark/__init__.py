@@ -22,7 +22,8 @@ from ddsketch_spark.operators.api import (
     ddsketch, ddsketch_avg, ddsketch_avg_from_sketches, ddsketch_merge,
     ddsketch_percentile, ddsketch_percentile_from_sketches,
     ddsketch_percentile_of, ddsketch_percentile_of_from_sketches,
-    ddsketch_sum, ddsketch_sum_from_sketches,
+    ddsketch_sum, ddsketch_sum_from_sketches, hll_ndv, kll_percentile,
+    tdigest_percentile,
 )
 from ddsketch_spark.operators.aggregate import merge_sketches, sketch_agg
 from ddsketch_spark.operators.native import ddsketch_agg_native
@@ -33,6 +34,7 @@ __all__ = [
     "ddsketch_avg_from_sketches", "ddsketch_merge", "ddsketch_percentile",
     "ddsketch_percentile_from_sketches", "ddsketch_percentile_of",
     "ddsketch_percentile_of_from_sketches", "ddsketch_sum",
-    "ddsketch_sum_from_sketches", "merge_sketches", "param_buckets",
-    "param_info", "sketch_agg", "union",
+    "ddsketch_sum_from_sketches", "hll_ndv", "kll_percentile",
+    "merge_sketches", "param_buckets", "param_info", "sketch_agg",
+    "tdigest_percentile", "union",
 ]

@@ -134,3 +134,45 @@ def ddsketch_sum_from_sketches(df: DataFrame, sketch_col: str, low: float,
     validate_trim(low, high)
     merged = merge_sketches(df, sketch_col, keys)
     return _finalize(merged, keys, sketch_trimmed(F.col(sketch_col), low, high, "sum"), alias)
+
+
+def kll_percentile(df: DataFrame, value_col: str, q,
+                   keys: Sequence[str] = (), k: int = 200,
+                   weight_col: str | None = None,
+                   alias: str = "percentile") -> DataFrame:
+    """Uniform-rank-error quantiles via KLL (north-rule sibling): same
+    calling convention as ddsketch_percentile."""
+    from ddsketch_spark.core import kll as kll_mod
+    from ddsketch_spark.core.kll import KLL
+    from ddsketch_spark.functions.estimators import kll_quantile
+
+    built = sketch_agg(df, value_col, keys, lambda: KLL(k),
+                       kll_mod.from_bytes, weight_col)
+    return _finalize(built, keys, kll_quantile(F.col("sketch"), q), alias)
+
+
+def tdigest_percentile(df: DataFrame, value_col: str, q,
+                       keys: Sequence[str] = (), delta: float = 100.0,
+                       weight_col: str | None = None,
+                       alias: str = "percentile") -> DataFrame:
+    """Tail-accurate quantiles via merging t-digest."""
+    from ddsketch_spark.core import tdigest as td_mod
+    from ddsketch_spark.core.tdigest import TDigest
+    from ddsketch_spark.functions.estimators import tdigest_quantile
+
+    built = sketch_agg(df, value_col, keys, lambda: TDigest(delta),
+                       td_mod.from_bytes, weight_col)
+    return _finalize(built, keys, tdigest_quantile(F.col("sketch"), q), alias)
+
+
+def hll_ndv(df: DataFrame, col: str, keys: Sequence[str] = (),
+            p: int = 12, alias: str = "ndv_est") -> DataFrame:
+    """Distinct-count estimate via native HLL (hashes the column JVM-side)."""
+    from ddsketch_spark.core.hashing import spark_h64
+    from ddsketch_spark.functions.estimators import hll_estimate
+    from ddsketch_spark.operators.native import hll_agg_native
+
+    keys = list(keys)
+    hashed = df.select(*keys, spark_h64(col).alias("__h"))
+    built = hll_agg_native(hashed, "__h", p=p, keys=keys)
+    return _finalize(built, keys, hll_estimate(F.col("sketch")), alias)
