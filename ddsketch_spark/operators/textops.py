@@ -295,3 +295,16 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Deterministic uniform sample: keep rows whose shared 60-bit hash of
+    ``key_col`` falls below ``rate`` of the hash space. Unlike
+    ``df.sample``, the decision is a pure function of the row key — stable
+    across runs, partitionings, and cluster sizes, and the SAME rows are
+    kept when the pipeline re-executes (critical for reproducible
+    training-data subsampling)."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError("rate must be in [0, 1]")
+    threshold = int(rate * (1 << 60))
+    return df.where(spark_h64(key_col) < threshold)

@@ -678,3 +678,8 @@ cand AS (
 SELECT a, b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sha, shb)) <= {max_hamming}
 """
+
+
+def duckdb_h64_pub(expr: str) -> str:
+    """Public alias of the shared hash mirror (for inline query oracles)."""
+    return duckdb_h64(expr)

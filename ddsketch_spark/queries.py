@@ -308,7 +308,8 @@ from ddsketch_spark.operators.similarity import (  # noqa: E402
 from ddsketch_spark.operators.textops import (  # noqa: E402
     bpe_token_count_col, exact_dedup, fingerprint_col, langid_col,
     minhash_lsh_pairs, ngram_jaccard_pairs, quality_score_col,
-    rolling_fingerprint_col, simhash, simhash_dup_pairs, token_count_col,
+    hash_sample, rolling_fingerprint_col, simhash, simhash_dup_pairs,
+    token_count_col,
 )
 
 MIRROR_OFFSET = 1_000_000
@@ -359,6 +360,17 @@ def dedup_cosine_pairs_lsh(spark, sf_dir):
     """Scale-path near-dup: LSH-bucket candidates then exact cosine."""
     return cosine_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"),
                                 COS_DUP_THRESHOLD)
+
+
+SAMPLE_RATE = 0.25
+
+
+def sample_docs_deterministic(spark, sf_dir):
+    """Reproducible 25% doc sample by content hash of text — rows
+    (doc_id, fp); the same rows survive under any partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "text", SAMPLE_RATE).select(
+        "doc_id", fingerprint_col("text").alias("fp"))
 
 
 def text_profile_docs(spark, sf_dir):
@@ -418,6 +430,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_cosine_pairs": dedup_cosine_pairs,
     "dedup_cosine_pairs_lsh": dedup_cosine_pairs_lsh,
+    "sample_docs_deterministic": sample_docs_deterministic,
     "text_profile_docs": text_profile_docs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
@@ -483,6 +496,10 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": oracles.simhash_dup_sql(oracles.mirrored_docs_sql()),
     "dedup_cosine_pairs": oracles.cosine_dup_sql(COS_DUP_THRESHOLD),
     "dedup_cosine_pairs_lsh": oracles.cosine_dup_lsh_sql(COS_DUP_THRESHOLD),
+    "sample_docs_deterministic": (
+        "SELECT doc_id, " + oracles.duckdb_h64_pub("text") + " AS fp "
+        "FROM documents WHERE " + oracles.duckdb_h64_pub("text")
+        + f" < {int(0.25 * (1 << 60))}"),
     "text_profile_docs": oracles.text_profile_sql(),
     "ann_cosine_topk": oracles.ann_topk_sql(ANN_N_QUERIES, ANN_K),
     "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
