@@ -128,8 +128,9 @@ def test_ann_lsh_results_are_subset_of_ranked_neighbors(spark):
 
 NEW_QUERIES = [
     "dedup_exact_docs", "dedup_minhash_pairs", "dedup_ngram_jaccard",
-    "dedup_simhash_docs", "dedup_cosine_pairs", "text_profile_docs",
-    "ann_cosine_topk", "ann_lsh_cosine_topk",
+    "dedup_simhash_docs", "dedup_simhash_pairs", "dedup_cosine_pairs",
+    "dedup_cosine_pairs_lsh", "text_profile_docs", "ann_cosine_topk",
+    "ann_lsh_cosine_topk", "sample_docs_deterministic",
 ]
 
 
@@ -151,3 +152,38 @@ def test_query_matches_oracle_sf0001(spark, name):
     for c in a.columns:
         for x, y in zip(a[c], b[c]):
             assert x == y or (pd.isna(x) and pd.isna(y)), (c, x, y)
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    from ddsketch_spark.operators.textops import hash_sample
+
+    pdf = pd.DataFrame({"doc_id": range(2000),
+                        "text": [f"doc number {i}" for i in range(2000)]})
+    df = spark.createDataFrame(pdf)
+    a = set(r["doc_id"] for r in hash_sample(df, "text", 0.3).collect())
+    b = set(r["doc_id"] for r in
+            hash_sample(df.repartition(7), "text", 0.3).collect())
+    assert a == b                      # partition-invariant
+    assert 0.2 < len(a) / 2000 < 0.4   # ~rate
+    sub = set(r["doc_id"] for r in hash_sample(df, "text", 0.1).collect())
+    assert sub <= a                    # nested samples (same hash order)
+    with pytest.raises(ValueError):
+        hash_sample(df, "text", 1.5)
+
+
+def test_sibling_percentile_apis(spark):
+    import ddsketch_spark as dds
+
+    rng = np.random.default_rng(8)
+    vals = rng.lognormal(2, 1, 30_000)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    sv = np.sort(vals)
+
+    for fn, kw in ((dds.kll_percentile, {}), (dds.tdigest_percentile, {})):
+        est = fn(df, "v", 0.9, **kw).collect()[0]["percentile"]
+        rank = np.searchsorted(sv, est) / (len(sv) - 1)
+        assert abs(rank - 0.9) < 0.03, fn.__name__
+
+    ndv = dds.hll_ndv(df.selectExpr("CAST(v AS STRING) AS s"), "s"
+                      ).collect()[0]["ndv_est"]
+    assert abs(ndv - 30_000) / 30_000 < 0.05
