@@ -268,7 +268,13 @@ class DDSketch:
         return self
 
     def copy(self) -> "DDSketch":
-        s = DDSketch(self.alpha, self.maxbuckets, self.on_overflow)
+        # Same workaround as from_bytes: a collapsed sketch (UDDSketch
+        # on_overflow='collapse' doubles gamma, so alpha may exceed 0.1)
+        # must survive copy() — construct with clamped alpha, then restore.
+        s = DDSketch(min(max(self.alpha, MIN_SKETCH_ALPHA), MAX_SKETCH_ALPHA),
+                     self.maxbuckets, self.on_overflow)
+        s.alpha = self.alpha
+        s._set_params()
         s.count, s.zero_count = self.count, self.zero_count
         s.neg, s.pos = dict(self.neg), dict(self.pos)
         return s

@@ -85,7 +85,15 @@ def duckdb_positions_cte(h_expr: str, k: int, width: int) -> str:
 
 
 def bit_length_u48(w: np.ndarray) -> np.ndarray:
-    """Exact bit length of non-negative ints < 2^53, vectorized: float64
-    represents them exactly, and ``frexp`` returns the exponent e with
-    w = m * 2^e, m in [0.5, 1) — i.e. e == bit_length(w); w=0 -> 0."""
-    return np.frexp(np.asarray(w, dtype=np.float64))[1].astype(np.int64)
+    """Exact bit length of non-negative int64s, vectorized. ``frexp`` on the
+    float64 image gives e == bit_length(w) exactly for w < 2^53; above that
+    the conversion can round w up across a power-of-two boundary (e.g.
+    2^56 - 1 -> 2^56), leaving e one too high. HLL feeds remainders up to
+    2^(60-p) with p >= 4, so correct the candidate in exact integer
+    arithmetic: bit_length(w) is the unique e with 2^(e-1) <= w < 2^e."""
+    w = np.asarray(w, dtype=np.int64)
+    e = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+    too_high = (w > 0) & ((w >> np.maximum(e - 1, 0)) == 0)
+    e = np.where(too_high, e - 1, e)
+    too_low = (w >> np.minimum(e, 63)) > 0
+    return np.where(too_low, e + 1, e)

@@ -45,18 +45,22 @@ _LOG2 = math.log(2.0)
 
 def dd_bucket_exprs(value_col: str, alpha: float) -> tuple[Column, Column]:
     """(part, bucket_index) columns: part 2=positive store, 1=zero bucket,
-    0=negative store, -1=NULL row (lineage only). Mirrors
+    0=negative store, -1=NULL/NaN row (lineage only). Mirrors
     core.ddsketch.map_index / the three-way routing of ddsketch_add
-    (ddsketch.c:796-821) as JVM expressions."""
+    (ddsketch.c:796-821) as JVM expressions. NaN is routed to part=-1 like
+    NULL (DDSketch.update skips NaN, matching the reference's NULL-skip,
+    ddsketch.c:1029-1039) — without the guard Spark's NaN-greater-than-all
+    ordering would drop NaN rows into the positive store."""
     _, mult, minidx, _ = mapping_params(alpha)
     v = F.col(value_col)
+    skip = v.isNull() | F.isnan(v.cast("double"))
     logmult = F.log(v) / _LOG2 * mult
     logmult_neg = F.log(-v) / _LOG2 * mult
-    part = (F.when(v.isNull(), F.lit(-1))
+    part = (F.when(skip, F.lit(-1))
             .when(v > minidx, F.lit(2))
             .when(v < -minidx, F.lit(0))
             .otherwise(F.lit(1)))
-    bidx = (F.when(v.isNull(), F.lit(0))
+    bidx = (F.when(skip, F.lit(0))
             .when(v > minidx, F.ceil(logmult))
             .when(v < -minidx, F.ceil(logmult_neg))
             .otherwise(F.lit(0))).cast("long")
@@ -80,7 +84,12 @@ def ddsketch_agg_native(
     keys = list(keys)
     part, bidx = dd_bucket_exprs(value_col, alpha)
     if weight_col:
-        wraw = F.coalesce(F.col(weight_col).cast("long"), F.lit(1))
+        # NULL or NaN count => 1 (ddsketch.c:1148-1151; DDSketch.update maps
+        # NaN counts to 1) — guard BEFORE the long cast, which turns NaN
+        # into 0 and would mistrip the >0 check.
+        wd = F.col(weight_col).cast("double")
+        wraw = (F.when(wd.isNull() | F.isnan(wd), F.lit(1).cast("long"))
+                .otherwise(F.col(weight_col).cast("long")))
         # weights must be > 0 (ddsketch.c:1153-1155) — enforced in-plan
         w = F.when(wraw > 0, wraw).otherwise(
             F.raise_error(F.lit(
@@ -88,7 +97,8 @@ def ddsketch_agg_native(
             .cast("long"))
     else:
         w = F.lit(1).cast("long")
-    w = F.when(F.col(value_col).isNull(), F.lit(0)).otherwise(w)
+    vd = F.col(value_col).cast("double")
+    w = F.when(F.col(value_col).isNull() | F.isnan(vd), F.lit(0)).otherwise(w)
 
     buckets = (
         df.select(*keys, F.col(value_col), *( [F.col(weight_col)] if weight_col else [] ))

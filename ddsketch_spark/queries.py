@@ -318,13 +318,24 @@ ANN_K = 5
 COS_DUP_THRESHOLD = 0.4
 
 
+def _spread(spark, df):
+    """Round-robin repartition to the session's core count before a
+    CPU-amplifying text op (shingle explode -> md5 is ~300 hash calls per
+    document vs ~300 bytes shuffled per document, so the shuffle is >100x
+    cheaper than the downstream work it parallelizes). At test SF the
+    documents table is a single parquet split — without this the whole
+    dedup pipeline runs on 1-2 cores; at production scale the scan yields
+    >= cores splits and this is a cheap rebalance against stragglers."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def mirrored_docs(spark, sf_dir):
     """documents doubled with exact duplicates at doc_id+offset — the
     positive set for the dedup queries (same augmentation in the oracle,
     oracles.mirrored_docs_sql)."""
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.col("text").alias("t"))
-    return d.unionAll(d.select(F.col("id") + MIRROR_OFFSET, "t"))
+    return _spread(spark, d.unionAll(d.select(F.col("id") + MIRROR_OFFSET, "t")))
 
 
 def dedup_exact_docs(spark, sf_dir):
@@ -342,7 +353,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def dedup_simhash_docs(spark, sf_dir):
-    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return simhash(_spread(spark, _t(spark, sf_dir, "documents")),
+                   "doc_id", "text")
 
 
 def dedup_simhash_pairs(spark, sf_dir):
@@ -377,7 +389,7 @@ def text_profile_docs(spark, sf_dir):
     """doc_id, tokens, bpe_tokens, lang_pred, quality, fp, rfp — the
     text-analysis stack (whitespace + BPE-ish regex token counts, stopword
     language-ID, composite quality, md5 + rolling fingerprints)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     prof = d.select(
         "doc_id",
         token_count_col("text").alias("tokens"),
