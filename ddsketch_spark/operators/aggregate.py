@@ -56,24 +56,28 @@ def sketch_partials(
     keys: Sequence[str] = (),
     factory: Callable[[], object] = DDSketch,
     weight_col: str | None = None,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Stage 1: per-partition, per-key partial sketches.
 
     Output schema: ``keys..., sketch binary, part_id long, n long`` where
     ``n`` is the number of contributing rows (lineage/metrics record per
     the north rule).
+
+    ``fanout=N`` round-robin-repartitions the (already-projected, narrow)
+    rows to N tasks first — explicit opt-in for inputs whose split count is
+    far below the cluster's cores AND whose per-row Python work justifies a
+    shuffle. Off by default: a 100 TB scan already has thousands of splits,
+    and for vectorized kernels (KLL/t-digest update is numpy-batch) the
+    shuffle costs more than it saves (measured 2x slower at sf0.1).
     """
     keys = list(keys)
     cols = keys + [value_col] + ([weight_col] if weight_col else [])
     # explicit projection: mapInPandas is a pruning barrier, so never let
     # wide columns (e.g. html binary) cross into Python (SURVEY §4.1)
     projected = df.select(*cols)
-    # a 100 TB scan has thousands of splits, but a small local file can be a
-    # single row group -> one task; fan out the (already-projected, narrow)
-    # rows so stage 1 uses the whole cluster. No-op at scale.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if projected.rdd.getNumPartitions() < target:
-        projected = projected.repartition(target)
+    if fanout and fanout > 1:
+        projected = projected.repartition(fanout)
     projected = projected.withColumn("__pid", F.spark_partition_id())
 
     out_schema = StructType(
@@ -219,13 +223,15 @@ def sketch_agg(
     from_bytes: Callable[[bytes], object] = dd_from_bytes,
     weight_col: str | None = None,
     merge_fanout: int | None = None,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Full 2-stage aggregation: ``keys..., sketch binary, n long``.
 
     The Spark analogue of ``SELECT keys, ddsketch(value, alpha, nbuckets)
     FROM t GROUP BY keys`` (reference lifecycle B, README.md:121-124).
     """
-    partials = sketch_partials(df, value_col, keys, factory, weight_col)
+    partials = sketch_partials(df, value_col, keys, factory, weight_col,
+                               fanout=fanout)
     return merge_partials(partials, keys, from_bytes, merge_fanout)
 
 

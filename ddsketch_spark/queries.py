@@ -270,22 +270,28 @@ def _rank_bound_query(spark, sf_dir, factory, from_bytes, quantile_fn):
     df = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"))
     built = sketch_agg(df, "v", factory=factory, from_bytes=from_bytes)
-    qarr = F.array(*[F.lit(float(q)) for q in BOUND_QS]).alias("q")
-    earr = quantile_fn(F.col("sketch"), BOUND_QS).alias("est")
-    est_rows = (
-        built.select(F.explode(F.arrays_zip(qarr, earr)).alias("z"))
-        .select(F.col("z.q").alias("q"), F.col("z.est").alias("est"))
-    )
-    joined = df.crossJoin(F.broadcast(est_rows))
-    agg = joined.groupBy("q", "est").agg(
-        F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0)).alias("lt"),
-        F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0)).alias("le"),
-        F.count("v").alias("n"),
-    )
+    # job 1: build the sketch and pull the 6 scalar estimates to the driver
+    # (a handful of doubles — NOT a data collect). Embedding them as
+    # literals lets job 2 verify all ranks in ONE conditional-sum pass over
+    # the table: no crossJoin row amplification (6x input), no broadcast
+    # exchange, no extra shuffle — at 100 TB the verification costs exactly
+    # one scan.
+    ests = built.select(
+        quantile_fn(F.col("sketch"), BOUND_QS).alias("est")).collect()[0]["est"]
+    aggs = []
+    for i, e in enumerate(ests):
+        lit = F.lit(float(e))
+        aggs.append(F.sum(F.when(F.col("v") < lit, 1).otherwise(0)).alias(f"lt{i}"))
+        aggs.append(F.sum(F.when(F.col("v") <= lit, 1).otherwise(0)).alias(f"le{i}"))
+    wide = df.agg(*aggs, F.count("v").alias("n"))
+    stack_args = ", ".join(
+        f"CAST({q} AS DOUBLE), lt{i}, le{i}" for i, q in enumerate(BOUND_QS))
+    rows = wide.select(
+        F.expr(f"stack({len(BOUND_QS)}, {stack_args}) as (q, lt, le)"), "n")
     eps = F.lit(RANK_BOUND_EPS)
     ok = ((F.col("lt") / F.col("n") <= F.col("q") + eps)
           & (F.col("le") / F.col("n") >= F.col("q") - eps))
-    return agg.select("q", ok.alias("ok"))
+    return rows.select("q", ok.alias("ok"))
 
 
 def kll_rank_bound_price(spark, sf_dir):
