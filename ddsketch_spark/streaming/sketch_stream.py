@@ -1,22 +1,38 @@
 """Structured Streaming sketch maintenance — the Spark-native re-expression
 of the reference's incremental API (lifecycle C: ``ddsketch_add`` /
 ``ddsketch_union`` UPDATE loops, /root/reference/README.md:199-243 and
-ddsketch.c:2402-2648). Two shapes:
+ddsketch.c:2402-2648). Three shapes:
 
 1. :func:`foreach_batch_maintainer` — each micro-batch builds partial
-   sketches with the JVM-native path and unions them into a persistent
-   sketch table (read-merge-overwrite of a kilobyte-scale state dir). This
-   is the reference's "UPDATE summary SET d = ddsketch_union(d, new)"
-   pattern, amortized per micro-batch instead of per row.
+   sketches with the JVM-native path and unions them into a persistent,
+   HASH-PARTITIONED sketch table. State never transits the driver: the
+   micro-batch reads only the state partitions its keys touch (left-semi
+   join on the partition column -> dynamic partition pruning) and
+   dynamic-partition-overwrite rewrites only those. This is the
+   reference's "UPDATE summary SET d = ddsketch_union(d, new)" pattern,
+   amortized per micro-batch instead of per row, and it scales to 100 M
+   keys: per batch, work is O(touched partitions), not O(state).
 
-2. :func:`stateful_quantiles` — ``applyInPandasWithState`` keeping one
+2. :func:`windowed_bucket_counts` — watermarked event-time windowed
+   DDSketch maintenance as a NATIVE streaming aggregation. A DDSketch is a
+   bag of additive (part, bucket_index) -> count cells, so
+   ``groupBy(window(ts), part, bidx).sum(weight)`` is a built-in streaming
+   agg: state lives in Spark's state store, the watermark admits late rows
+   into their window and evicts closed windows, and append mode emits each
+   window's bucket rows exactly once after it finalizes. No Python in the
+   hot path at all. :func:`assemble_window_sketches` turns the emitted
+   bucket rows into binary sketches per window.
+
+3. :func:`stateful_quantiles` — ``applyInPandasWithState`` keeping one
    serialized sketch per key in Spark's state store, emitting running
    quantiles each batch: the custom-stateful-operator shape for when state
    must live inside the streaming engine (exactly-once with the
    checkpoint).
 
-Tests drive both with a file source + ``trigger(availableNow)`` so runs are
-deterministic and incremental (new files -> only new rows processed).
+Tests drive all three with a file source + ``trigger(availableNow)`` so
+runs are deterministic and incremental (new files -> only new rows
+processed; the trailing no-data micro-batch advances the watermark and
+flushes finalized windows).
 """
 
 from __future__ import annotations
@@ -29,11 +45,12 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType, DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 from ddsketch_spark.core.ddsketch import DDSketch
 from ddsketch_spark.operators.aggregate import merge_partials
-from ddsketch_spark.operators.native import ddsketch_agg_native
+from ddsketch_spark.operators.native import dd_bucket_exprs, ddsketch_agg_native
 
 
 def foreach_batch_maintainer(
@@ -44,38 +61,149 @@ def foreach_batch_maintainer(
     keys: Sequence[str],
     alpha: float = 0.01,
     nbuckets: int = 2048,
+    state_buckets: int = 64,
 ):
     """Returns a started streaming query; call ``awaitTermination()``.
 
-    State table schema: ``keys..., sketch binary, n long`` (same contract
-    as the batch aggregation, so all extraction UDFs apply directly).
+    State table: ``keys..., sketch binary, n long`` partitioned by
+    ``__bucket = pmod(xxhash64(keys), state_buckets)``. Size
+    ``state_buckets`` so each partition's sketch rows fit an executor
+    comfortably (e.g. 4096 for ~100 M keys).
+
+    Scale contract (no driver round-trip): the batch's partials determine
+    the touched buckets; previous state is filtered with a broadcast
+    left-semi join on ``__bucket`` (dynamic partition pruning skips
+    untouched partition directories at the scan) and the merged result is
+    written back with dynamic partition overwrite, leaving every untouched
+    bucket's files in place. ``localCheckpoint`` truncates lineage so the
+    plan may overwrite the directory it read; a failed write is retried by
+    the streaming engine from the checkpoint (for stronger per-batch
+    atomicity put the state table on a transactional format — the write
+    path is a plain DataFrame write, so Iceberg/Delta slot in unchanged).
     """
     keys = list(keys)
     spark = stream_df.sparkSession
 
+    def bucket_expr():
+        return F.pmod(F.xxhash64(*keys), F.lit(state_buckets)).alias("__bucket")
+
+    def _state_exists() -> bool:
+        # dynamic partition overwrite writes no _SUCCESS marker — presence
+        # of any __bucket= partition directory is the signal. (Local-FS
+        # check; for HDFS/S3 swap in the Hadoop FileSystem API.)
+        return os.path.isdir(state_dir) and any(
+            e.startswith("__bucket=") for e in os.listdir(state_dir))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        partial = ddsketch_agg_native(batch_df, value_col, alpha, nbuckets,
-                                      keys)
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        partial = (ddsketch_agg_native(batch_df, value_col, alpha, nbuckets,
+                                       keys)
+                   .withColumn("__bucket", bucket_expr()))
+        if _state_exists():
             prev = spark.read.parquet(state_dir)
-            both = prev.unionByName(partial)
+            touched = partial.select("__bucket").distinct()
+            prev_touched = prev.join(F.broadcast(touched), on="__bucket",
+                                     how="leftsemi")
+            both = prev_touched.unionByName(partial)
         else:
             both = partial
         with_lineage = both.withColumn(
             "part_id", F.monotonically_increasing_id())
-        merged = merge_partials(
+        merged = (merge_partials(
             with_lineage.select(*keys, "sketch", "part_id", "n"), keys=keys)
-        # state is kilobytes — collect then overwrite atomically
-        rows = merged.collect()
-        schema = merged.schema
-        (spark.createDataFrame(rows, schema=schema)
-         .coalesce(1).write.mode("overwrite").parquet(state_dir))
+            .withColumn("__bucket", bucket_expr()))
+        # materialize off the input files (truncates lineage; O(touched
+        # keys) kilobyte sketch rows on executors — never the driver),
+        # then rewrite ONLY the touched partitions
+        merged = merged.localCheckpoint(eager=True)
+        (merged.repartition("__bucket")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__bucket")
+         .parquet(state_dir))
 
     return (stream_df.writeStream
             .foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# watermarked event-time windows, fully JVM-native
+# ---------------------------------------------------------------------------
+
+def windowed_bucket_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Streaming DataFrame of finalized-window sketch cells:
+    ``window_start, window_end, __part, __bidx, cnt``.
+
+    Attach ``.writeStream.outputMode("append")`` — append emits a window's
+    rows exactly once, after the watermark passes its end. Late rows
+    within ``watermark_delay`` are merged into their (still-open) window
+    by the state store; rows later than that are dropped by the engine —
+    the standard watermark contract, with sketch-cell additivity making
+    the whole operator a built-in windowed sum (zero Python, state size
+    O(open windows x occupied buckets))."""
+    part, bidx = dd_bucket_exprs(value_col, alpha)
+    v = F.col(value_col)
+    w = (F.when(v.isNull() | F.isnan(v.cast("double")), F.lit(0))
+         .otherwise(F.lit(1))).cast("long")
+    return (
+        stream_df
+        .withWatermark(ts_col, watermark_delay)
+        .select(F.col(ts_col), part, bidx, w.alias("__w"))
+        .groupBy(F.window(ts_col, window_duration), "__part", "__bidx")
+        .agg(F.sum("__w").alias("cnt"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "__part", "__bidx", "cnt")
+    )
+
+
+def assemble_window_sketches(
+    bucket_rows: DataFrame,
+    alpha: float = 0.01,
+    nbuckets: int = 2048,
+) -> DataFrame:
+    """Batch post-processing of :func:`windowed_bucket_counts` output (read
+    back from the sink): ``window_start, window_end, sketch binary, n`` —
+    one binary DDSketch per finalized window, built from O(buckets) cell
+    rows per window (same assembly contract as the native batch path)."""
+    out_schema = StructType([
+        StructField("window_start", TimestampType(), False),
+        StructField("window_end", TimestampType(), False),
+        StructField("sketch", BinaryType(), False),
+        StructField("n", LongType(), False),
+    ])
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = DDSketch(alpha, nbuckets)
+        live = pdf[pdf["__part"] >= 0]
+        s.count = int(live["cnt"].sum())
+        if s.count == 0:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        zero = live[live["__part"] == 1]
+        s.zero_count = int(zero["cnt"].sum())
+        neg = live[live["__part"] == 0]
+        pos = live[live["__part"] == 2]
+        s.neg = dict(zip(neg["__bidx"].astype(int), neg["cnt"].astype(int)))
+        s.pos = dict(zip(pos["__bidx"].astype(int), pos["cnt"].astype(int)))
+        s._enforce_maxbuckets()
+        return pd.DataFrame({
+            "window_start": [pdf["window_start"].iloc[0]],
+            "window_end": [pdf["window_end"].iloc[0]],
+            "sketch": [s.to_bytes()],
+            "n": [s.count],
+        })
+
+    return (bucket_rows.groupBy("window_start", "window_end")
+            .applyInPandas(assemble, schema=out_schema))
 
 
 def stateful_quantiles(

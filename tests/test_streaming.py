@@ -132,3 +132,70 @@ def test_foreach_batch_windowed_keys(spark, tmp_path):
         key = str(hr)
         want = DDSketch(0.01, 2048).update(grp["v"].to_numpy())
         assert DDSketch.from_bytes(got[key]) == want, key
+
+
+def test_windowed_watermark_native_agg(spark, tmp_path):
+    """Watermarked event-time windowed sketch maintenance as a built-in
+    streaming aggregation: late rows inside the watermark merge into their
+    window, rows beyond it are dropped, and append mode emits each
+    finalized window's bucket cells exactly once."""
+    import time as _time
+
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_window_sketches, windowed_bucket_counts,
+    )
+
+    src = str(tmp_path / "wmsrc")
+    ckpt = str(tmp_path / "wmckpt")
+    out_dir = str(tmp_path / "wmout")
+    base = pd.Timestamp("2025-06-01 10:00:00")
+
+    def write_file(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "v"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    # file 1: window 10-11 gets 2 rows, window 11-12 gets 3; max ET 11:45
+    write_file([(base + pd.Timedelta(minutes=5), 10.0),
+                (base + pd.Timedelta(minutes=20), 20.0),
+                (base + pd.Timedelta(minutes=70), 30.0),
+                (base + pd.Timedelta(minutes=100), 40.0),
+                (base + pd.Timedelta(minutes=105), 50.0)])
+    # file 2 (watermark now 11:45 - 30m = 11:15; window 10-11 is emitted
+    # and evicted at this batch's end): an in-time late row for the still-
+    # open 11-12 window — merged into its window's state
+    write_file([(base + pd.Timedelta(minutes=80), 60.0)])
+    # file 3: a too-late row for the already-evicted 10-11 window (dropped
+    # by the watermark — Spark's guarantee is one-sided: within-threshold
+    # rows are never dropped, beyond-threshold rows are dropped once their
+    # window left the state store) + a row advancing the watermark past
+    # 12:00 so 11-12 finalizes in the trailing no-data batch
+    write_file([(base + pd.Timedelta(minutes=30), 99.0),
+                (base + pd.Timedelta(minutes=180), 70.0)])
+
+    stream = (spark.readStream.schema("ts timestamp, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cells = windowed_bucket_counts(stream, "ts", "v", "1 hour", "30 minutes",
+                                   alpha=0.01)
+    q = (cells.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination()
+
+    got = assemble_window_sketches(
+        spark.read.parquet(out_dir), 0.01, 2048).collect()
+    by_start = {r["window_start"]: r for r in got}
+
+    # both closed windows emitted; open window 13-14 is not
+    assert set(by_start) == {base, base + pd.Timedelta(hours=1)}
+    # window 10-11: exactly the two file-1 rows; the 10:30 row from file 3
+    # arrived after the window's eviction and was dropped
+    w10 = DDSketch(0.01, 2048).update(np.array([10.0, 20.0]))
+    assert DDSketch.from_bytes(bytes(by_start[base]["sketch"])) == w10
+    assert by_start[base]["n"] == 2
+    # window 11-12: three file-1 rows PLUS the in-time late 11:20 row
+    w11 = DDSketch(0.01, 2048).update(np.array([30.0, 40.0, 50.0, 60.0]))
+    key11 = base + pd.Timedelta(hours=1)
+    assert DDSketch.from_bytes(bytes(by_start[key11]["sketch"])) == w11
+    assert by_start[key11]["n"] == 4
