@@ -87,6 +87,61 @@ def synthesize_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     return spark.range(0, n_rows, 1).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# An arithmetic (RNG-free) synthesizer whose payload bytes are a pure
+# integer function of (seed, media_id, position) — the same math is
+# expressible in ANSI SQL, which lets the driver's DuckDB oracle recompute
+# decoded-feature statistics independently (see oracles.multimodal_stats_sql).
+ARITH_MUL = 2654435761  # Knuth multiplicative constant, shared with the oracle
+
+
+def arith_pixels(count: int, s: int) -> np.ndarray:
+    """uint8 payload values: ``(s + (j+1)*ARITH_MUL) mod 256``."""
+    j = np.arange(count, dtype=np.int64)
+    return ((s + (j + 1) * ARITH_MUL) % 256).astype(np.uint8)
+
+
+def arith_samples(count: int, s: int) -> np.ndarray:
+    """int16 audio samples in [-2000, 2000]: ``((s + (j+1)*ARITH_MUL) mod
+    4001) - 2000``."""
+    j = np.arange(count, dtype=np.int64)
+    return (((s + (j + 1) * ARITH_MUL) % 4001) - 2000).astype(np.int16)
+
+
+def synthesize_media_arith(spark, n_rows: int, seed: int = 7) -> DataFrame:
+    """Deterministic media table with SQL-mirrorable payload content.
+    Element counts are multiples of 8 so :func:`extract_features`' 8-way
+    ``np.array_split`` produces equal chunks (chunk c = elements
+    [c*L/8, (c+1)*L/8) — a plain range sum in the oracle)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                s = seed * 1_000_003 + i
+                if i % 3 == 0:
+                    w, h = 8 * (2 + i % 4), 3 + i % 5
+                    px = arith_pixels(w * h, s).tobytes()
+                    rows.append((i, "image",
+                                 IMG_MAGIC + struct.pack(">HH", w, h) + px,
+                                 w, h, None))
+                elif i % 3 == 1:
+                    n = 1000 + 8 * (i % 50)
+                    smp = arith_samples(n, s).tobytes()
+                    rows.append((i, "audio",
+                                 AUD_MAGIC + struct.pack(">HI", 16000, n) + smp,
+                                 None, None, 16000))
+                else:
+                    w = h = 8
+                    nf = 4 + i % 8
+                    px = arith_pixels(w * h * nf, s).tobytes()
+                    rows.append((i, "video",
+                                 VID_MAGIC + struct.pack(">HHH", w, h, nf) + px,
+                                 w, h, 24))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(0, n_rows, 1).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 # ------------------------------------------------------------- decode stubs
 
 def decode_image(payload: bytes) -> np.ndarray:

@@ -683,3 +683,65 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= {max_hamming}
 def duckdb_h64_pub(expr: str) -> str:
     """Public alias of the shared hash mirror (for inline query oracles)."""
     return duckdb_h64(expr)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: recompute decoded-feature statistics from the arithmetic
+# payload definition (operators/multimodal.py synthesize_media_arith) —
+# the oracle never touches binary payloads; it re-derives every decoded
+# element as the same integer function of (seed, media_id, position).
+# ---------------------------------------------------------------------------
+
+def multimodal_feats_sql(n_rows: int, seed: int) -> str:
+    """Relation ``(media_id, kind, n_bytes, f0, f7)`` — f0/f7 are the first
+    and last of the 8 equal-chunk means extract_features produces."""
+    mul = 2654435761
+    return f"""
+ids AS (SELECT unnest(range(0, {n_rows})) AS i),
+par AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    {seed} * 1000003 + i AS s,
+    CASE i % 3
+      WHEN 0 THEN 8 * (2 + i % 4) * (3 + i % 5)
+      WHEN 1 THEN 1000 + 8 * (i % 50)
+      ELSE 64 * (4 + i % 8) END AS cnt,
+    CASE i % 3
+      WHEN 0 THEN 12 + 8 * (2 + i % 4) * (3 + i % 5)
+      WHEN 1 THEN 14 + 2 * (1000 + 8 * (i % 50))
+      ELSE 14 + 64 * (4 + i % 8) END AS n_bytes
+  FROM ids),
+expanded AS (
+  SELECT i, kind, n_bytes, cnt, s, unnest(range(0, cnt)) AS j FROM par),
+mvals AS (
+  SELECT i, kind, n_bytes, cnt, j // (cnt // 8) AS chunk,
+    CASE WHEN kind = 'audio' THEN ((s + (j + 1) * {mul}) % 4001) - 2000
+         ELSE (s + (j + 1) * {mul}) % 256 END AS val
+  FROM expanded),
+chunk_means AS (
+  SELECT i, kind, n_bytes, chunk, CAST(sum(val) AS DOUBLE) / (cnt // 8) AS cm
+  FROM mvals GROUP BY i, kind, n_bytes, chunk, cnt),
+feats AS (
+  SELECT i AS media_id, kind, n_bytes,
+         sum(CASE WHEN chunk = 0 THEN cm END) AS f0,
+         sum(CASE WHEN chunk = 7 THEN cm END) AS f7
+  FROM chunk_means GROUP BY i, kind, n_bytes)"""
+
+
+def multimodal_stats_sql(n_rows: int, seed: int, alpha: float,
+                         qs: Sequence[float]) -> str:
+    """Rows ``kind, q, est, n_media, f0_micro, f7_micro`` — DDSketch
+    percentiles of payload size per modality plus floor-scaled integer
+    sums of decoded feature chunks (floor * 1e6 -> exact BIGINT, immune to
+    cross-row float summation order)."""
+    pct = percentile_sql("feats", "n_bytes", alpha, qs, keys=["kind"])
+    return f"""
+WITH {multimodal_feats_sql(n_rows, seed)},
+agg AS (
+  SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+         CAST(sum(CAST(floor(f0 * 1000000.0) AS BIGINT)) AS BIGINT) AS f0_micro,
+         CAST(sum(CAST(floor(f7 * 1000000.0) AS BIGINT)) AS BIGINT) AS f7_micro
+  FROM feats GROUP BY kind)
+SELECT p.kind, p.q, p.est, a.n_media, a.f0_micro, a.f7_micro
+FROM ({pct}) p JOIN agg a USING (kind)
+"""

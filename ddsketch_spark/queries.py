@@ -407,6 +407,33 @@ def text_profile_docs(spark, sf_dir):
     return prof.join(rolling_fingerprint_col(d), on="doc_id")
 
 
+N_MEDIA = 300
+MEDIA_SEED = 7
+
+
+def multimodal_feature_stats(spark, sf_dir):
+    """kind, q, est, n_media, f0_micro, f7_micro — decode + feature-extract
+    a deterministic multimodal table (image/audio/video binary payloads
+    through the real mapInPandas plumbing), then DDSketch the payload-size
+    distribution per modality and integer-sum two decoded feature chunks.
+    The oracle re-derives every decoded element arithmetically — it checks
+    the decode math end-to-end, not just row counts."""
+    from ddsketch_spark.operators.multimodal import (
+        extract_features, synthesize_media_arith,
+    )
+    media = synthesize_media_arith(spark, N_MEDIA, seed=MEDIA_SEED)
+    feats = extract_features(media)
+    agg = feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.floor(F.element_at(F.col("feature"), 1) * F.lit(1000000.0))
+              .cast("long")).alias("f0_micro"),
+        F.sum(F.floor(F.element_at(F.col("feature"), 8) * F.lit(1000000.0))
+              .cast("long")).alias("f7_micro"))
+    pct = quantile_rows(feats, "n_bytes", 0.01, 2048, [0.5, 0.95],
+                        keys=["kind"])
+    return pct.join(agg, on="kind")
+
+
 def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.where(F.col("vec_id") < ANN_N_QUERIES), ANN_K)
@@ -452,6 +479,7 @@ QUERIES: dict[str, Callable] = {
     "text_profile_docs": text_profile_docs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
+    "multimodal_feature_stats": multimodal_feature_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -521,4 +549,6 @@ ORACLES: dict[str, str] = {
     "text_profile_docs": oracles.text_profile_sql(),
     "ann_cosine_topk": oracles.ann_topk_sql(ANN_N_QUERIES, ANN_K),
     "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
+    "multimodal_feature_stats": oracles.multimodal_stats_sql(
+        N_MEDIA, MEDIA_SEED, 0.01, [0.5, 0.95]),
 }

@@ -59,3 +59,31 @@ def test_sample_frames(spark):
                for p in vids["payload"])
     assert len(frames) == want
     assert (frames["frame_idx"] % 2 == 0).all()
+
+
+def test_arith_media_decode_roundtrip(spark):
+    """The arithmetic synthesizer's payloads decode to exactly the integer
+    sequence the DuckDB oracle re-derives (multimodal_stats_sql)."""
+    import numpy as np
+
+    from ddsketch_spark.operators.multimodal import (
+        ARITH_MUL, fake_decode_audio, fake_decode_image, fake_decode_video,
+        synthesize_media_arith,
+    )
+
+    rows = synthesize_media_arith(spark, 12, seed=7).orderBy("media_id").collect()
+    assert [r["kind"] for r in rows[:3]] == ["image", "audio", "video"]
+    for r in rows:
+        i = r["media_id"]
+        s = 7 * 1_000_003 + i
+        if r["kind"] == "image":
+            a = fake_decode_image(bytes(r["payload"])).ravel().astype(np.int64)
+            want = (s + (np.arange(a.size) + 1) * ARITH_MUL) % 256
+        elif r["kind"] == "audio":
+            a = fake_decode_audio(bytes(r["payload"]))[1].astype(np.int64)
+            want = ((s + (np.arange(a.size) + 1) * ARITH_MUL) % 4001) - 2000
+        else:
+            a = fake_decode_video(bytes(r["payload"])).ravel().astype(np.int64)
+            want = (s + (np.arange(a.size) + 1) * ARITH_MUL) % 256
+        assert a.size % 8 == 0  # equal 8-way chunks for extract_features
+        assert (a == want).all()
