@@ -19,7 +19,13 @@ TPCH_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-TABLE_FORMAT = os.environ.get("DDSKETCH_SPARK_TABLE_FORMAT", "parquet")
+def table_format() -> str:
+    """Resolved at CALL time so tests/deployments can flip the format
+    without re-importing. With an Iceberg runtime on the classpath, set
+    DDSKETCH_SPARK_TABLE_FORMAT=iceberg (plus the usual catalog confs);
+    without one, Spark raises a clear DATA_SOURCE_NOT_FOUND — never a
+    silent parquet fallback (pinned in tests/test_spark_agg.py)."""
+    return os.environ.get("DDSKETCH_SPARK_TABLE_FORMAT", "parquet")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,11 +41,11 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
 
 def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None,
                 mode: str = "overwrite") -> None:
-    w = df.write.format(TABLE_FORMAT).mode(mode)
+    w = df.write.format(table_format()).mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.format(TABLE_FORMAT).load(path)
+    return spark.read.format(table_format()).load(path)

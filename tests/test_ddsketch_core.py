@@ -43,10 +43,8 @@ def distributions():
     i = np.arange(1, N + 1, dtype=np.float64)
     out = {
         "asc": i,
-        "asc_straddle": i - N / 2,
         "desc": N - i,
         "uniform": u * N,
-        "uniform_straddle": u * N - N / 2,
         "sqrt_skew": N * np.sqrt(u),
         "sqrt2_skew": N * np.power(u, 0.25),
         "pow_skew": N * np.power(u, 4),
@@ -55,6 +53,13 @@ def distributions():
         "lognormal": np.exp(z),
         "pareto": np.power(1.0 - u, -1.0 / 1.5),  # Pareto(alpha=1.5, xm=1)
     }
+    # the reference shifts EVERY family to straddle zero (negative store +
+    # zero bucket on every shape, test/sql/ddsketch.sql:212-236, 447-,
+    # 1209-, ...): median-shift each base distribution (FIXTURES.md F1)
+    for name in list(out):
+        out[f"{name}_straddle"] = out[name] - np.median(out[name])
+    # and an all-negative stream (asc with i - N): negative store only
+    out["asc_neg"] = i - N - 1
     return out
 
 
@@ -336,3 +341,55 @@ def test_null_semantics_matrix():
                                     np.array([np.nan, 3.0]))
     expanded = DDSketch(0.05, 1024).update(np.array([1.0, 2.0, 2.0, 2.0]))
     assert w == expanded
+
+
+# ---------------------------------------------------------------------------
+# FIXTURES.md F2: literal heavy-tail weighted fixture, copied verbatim from
+# the reference (test/sql/ddsketch.sql:2323-2374, tuples are (count, value));
+# golden p90/p95/p99 from test/expected/ddsketch.out:3268-3271 via
+# trunc_value (first 12 chars of the double's shortest text rendering).
+# ---------------------------------------------------------------------------
+
+HEAVY_TAIL_COUNT_VALUE = [
+    (47325940488, 1), (15457695432, 2), (6889790700, 3), (4188763788, 4),
+    (2882932224, 5), (2114815860, 6), (1615194324, 7), (2342114568, 9),
+    (1626471924, 11), (1660755408, 14), (1143728292, 17), (1082582424, 21),
+    (911488284, 26), (728863908, 32), (654898692, 40), (530198076, 50),
+    (417883440, 62), (341452344, 77), (274579584, 95), (231921120, 118),
+    (184091820, 146), (152469828, 181), (125634972, 224), (107059704, 278),
+    (88746120, 345), (73135668, 428), (61035756, 531), (50683320, 658),
+    (42331824, 816), (35234400, 1012), (29341356, 1255), (24290928, 1556),
+    (20284668, 1929), (17215908, 2391), (14737488, 2964), (12692772, 3674),
+    (11220732, 4555), (9787584, 5647), (8148420, 7000), (6918612, 8678),
+    (6015000, 10758), (5480316, 13336), (5443356, 16532), (4535616, 20494),
+    (3962316, 25406), (3914484, 31495), (3828108, 39043), (3583536, 48400),
+    (4104120, 60000), (166024740, 2147483647),
+]
+
+HEAVY_TAIL_GOLDEN = {0.9: "10.493014090", 0.95: "25.828042957",
+                     0.99: "233.52681881"}
+
+
+def test_heavy_tail_weighted_golden():
+    counts = np.array([c for c, _ in HEAVY_TAIL_COUNT_VALUE], dtype=np.int64)
+    values = np.array([v for _, v in HEAVY_TAIL_COUNT_VALUE], dtype=np.float64)
+    s = DDSketch(0.05, 1024).update(values, counts)
+    assert s.count == int(counts.sum())
+    for q, golden in HEAVY_TAIL_GOLDEN.items():
+        est = float(s.quantile(q))
+        assert repr(est)[:12] == golden, (q, est)
+
+
+def test_collapsed_sketch_copy_and_union_roundtrip():
+    """A collapse-widened sketch (alpha beyond the constructor's 0.1 cap)
+    must survive copy() and union() — the exact case from_bytes was
+    relaxed for."""
+    vals = np.power(10.0, np.arange(-30, 30, dtype=np.float64))
+    s = DDSketch(0.05, 16, on_overflow="collapse").update(vals)
+    assert s.alpha > 0.1  # collapses doubled gamma past the cap
+    c = s.copy()
+    assert c == s and c.to_bytes() == s.to_bytes()
+    u = union(s, None)       # union copies via copy()
+    assert u.to_bytes() == s.to_bytes()
+    both = union(s, s.copy())
+    assert both.count == 2 * s.count

@@ -186,3 +186,34 @@ def test_bloom_native_equals_kernel(spark):
     want = Bloom(1 << 14, 5).update(np.array([py_h64(s) for s in pdf["s"]],
                                              dtype=np.int64))
     assert got == want and got.count == want.count
+
+
+def test_native_nan_skipped_like_null(spark):
+    """NaN rows must be skipped exactly like NULLs (reference NULL-skip,
+    ddsketch.c:1029-1039; DDSketch.update drops NaN) — pinned with a
+    Spark-COMPUTED NaN (Arrow converts pandas NaN to NULL, so a literal
+    wouldn't exercise the branch), and a NaN weight maps to 1."""
+    import numpy as np
+
+    from ddsketch_spark.core.ddsketch import DDSketch
+    from ddsketch_spark.operators.native import ddsketch_agg_native
+
+    df = spark.range(0, 10).select(
+        # sqrt(-1) -> NaN for odd ids, JVM-side
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double") + 1.0)
+        .otherwise(F.sqrt(F.lit(-1.0))).alias("v"))
+    out = ddsketch_agg_native(df, "v", 0.05, 1024).collect()[0]
+    want = DDSketch(0.05, 1024).update(np.array([1.0, 3.0, 5.0, 7.0, 9.0]))
+    assert DDSketch.from_bytes(bytes(out["sketch"])) == want
+    assert out["n"] == 10  # lineage counts all rows, sketch skips NaN
+    assert want.count == 5
+
+    # NaN weight => 1 (ddsketch.c:1148-1151), not 0 / raise
+    dfw = spark.range(0, 4).select(
+        (F.col("id").cast("double") + 1.0).alias("v"),
+        F.when(F.col("id") == 0, F.sqrt(F.lit(-1.0)))
+        .otherwise(F.col("id").cast("double")).alias("w"))
+    outw = ddsketch_agg_native(dfw, "v", 0.05, 1024, weight_col="w").collect()[0]
+    wantw = DDSketch(0.05, 1024).update(
+        np.array([1.0, 2.0, 3.0, 4.0]), np.array([1, 1, 2, 3]))
+    assert DDSketch.from_bytes(bytes(outw["sketch"])) == wantw
