@@ -258,3 +258,26 @@ def test_table_format_switch_roundtrip(spark, tmp_path, data, monkeypatch):
     monkeypatch.setenv("DDSKETCH_SPARK_TABLE_FORMAT", "iceberg")
     with _pytest.raises(Exception, match="(?i)iceberg"):
         write_table(fine, str(tmp_path / "nope"))
+
+
+def test_map_side_combine_identical_result(spark, data):
+    """merge_partials(map_side_combine=True) and the fanout variants are
+    bit-identical to the single-round merge (exact integer bucket sums)."""
+    from ddsketch_spark.core.ddsketch import from_bytes
+    from ddsketch_spark.operators.aggregate import (
+        merge_partials, sketch_partials,
+    )
+
+    df, pdf = data
+    parts = sketch_partials(df, "v", keys=["k"],
+                            factory=lambda: DDSketch(ALPHA, NB))
+    base = {r["k"]: (bytes(r["sketch"]), r["n"])
+            for r in merge_partials(parts, keys=["k"]).collect()}
+    for fanout, combine in [(None, True), (4, True), (4, False)]:
+        got = {r["k"]: (bytes(r["sketch"]), r["n"])
+               for r in merge_partials(parts, keys=["k"], merge_fanout=fanout,
+                                       map_side_combine=combine).collect()}
+        assert got.keys() == base.keys()
+        for k in base:
+            assert from_bytes(got[k][0]) == from_bytes(base[k][0]), (k, fanout, combine)
+            assert got[k][1] == base[k][1]
