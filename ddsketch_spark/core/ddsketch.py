@@ -62,16 +62,18 @@ _BUCKET_DT = np.dtype([("index", ">i4"), ("count", ">i8")])
 
 def validate_alpha(alpha: float) -> None:
     if not (MIN_SKETCH_ALPHA <= alpha <= MAX_SKETCH_ALPHA):
+        # message text == reference (ddsketch.c:2895-2899)
         raise ValueError(
-            f"alpha value {alpha} not in supported range "
-            f"[{MIN_SKETCH_ALPHA}, {MAX_SKETCH_ALPHA}]"
+            f"alpha for ddsketch ({alpha:f}) must be in "
+            f"[{MIN_SKETCH_ALPHA:f}, {MAX_SKETCH_ALPHA:f}]"
         )
 
 
 def validate_nbuckets(nbuckets: int) -> None:
     if not (MIN_SKETCH_BUCKETS <= nbuckets <= MAX_SKETCH_BUCKETS):
+        # message text == reference (ddsketch.c:2907-2911)
         raise ValueError(
-            f"number of buckets {nbuckets} not in supported range "
+            f"number of buckets ({nbuckets}) for ddsketch must be in "
             f"[{MIN_SKETCH_BUCKETS}, {MAX_SKETCH_BUCKETS}]"
         )
 
@@ -183,7 +185,10 @@ class DDSketch:
             keep = ~np.isnan(v)
             v, c = v[keep], c[keep]
             if np.any(c <= 0):
-                raise ValueError("count value for the ddsketch must be a positive integer")
+                bad = int(c[c <= 0][0])
+                # message text == reference (ddsketch.c:1155)
+                raise ValueError(
+                    f"invalid count value {bad}, must be a positive value")
             c = c.astype(np.int64)
         if v.size == 0:
             return self
@@ -218,16 +223,19 @@ class DDSketch:
     def add(self, value: float, count: int = 1) -> "DDSketch":
         """Single-value insert (reference ddsketch_add, ddsketch.c:796-821)."""
         if count <= 0:
-            raise ValueError("count value for the ddsketch must be a positive integer")
+            raise ValueError(
+                f"invalid count value {count}, must be a positive value")
         self.update(np.array([value]), np.array([count]))
         return self
 
     def _enforce_maxbuckets(self) -> None:
         while len(self.neg) + len(self.pos) > self.maxbuckets:
             if self.on_overflow == "error":
-                # ddsketch.c:727-731
+                # message text == reference batch-add path (ddsketch.c:1383-1385)
                 raise ValueError(
-                    f"bucket overflow (used {len(self.neg) + len(self.pos)}, "
+                    f"too many buckets needed "
+                    f"{len(self.neg) + len(self.pos)} > {self.maxbuckets} "
+                    f"(bucket overflow: used {len(self.neg) + len(self.pos)}, "
                     f"max {self.maxbuckets})"
                 )
             self._collapse()
@@ -469,16 +477,29 @@ class DDSketch:
         # doubles alpha per collapse, and collapsed sketches must round-trip.
         # Text format (from_string) keeps the strict reference validation.
         if not (0.0 < alpha < 1.0):
-            raise ValueError(f"alpha value {alpha} not in supported range (0, 1)")
-        validate_nbuckets(maxbuckets)
-        if not (0 <= nneg <= nbuckets <= maxbuckets):
             raise ValueError(
-                f"invalid bucket counts (negative {nneg}, total {nbuckets}, max {maxbuckets})"
-            )
+                f"alpha for ddsketch ({alpha:f}) must be in (0, 1)")
+        validate_nbuckets(maxbuckets)
+        if nneg < 0:
+            raise ValueError(
+                f"number of negative buckets ({nneg}) for ddsketch "
+                "must not be negative")
+        if nneg > nbuckets:
+            raise ValueError(
+                f"number of negative buckets ({nneg}) for ddsketch "
+                f"must not exceed nbuckets ({nbuckets})")
+        if nbuckets > maxbuckets:
+            raise ValueError(
+                f"number of buckets ({nbuckets}) for ddsketch "
+                f"must not exceed maxbuckets ({maxbuckets})")
         if count <= 0:
-            raise ValueError(f"invalid count value {count}, must be positive")
-        if not (0 <= zero_count <= count):
-            raise ValueError(f"invalid zero_count value {zero_count}")
+            raise ValueError("count value for the ddsketch must be positive")
+        if zero_count < 0:
+            raise ValueError(
+                "zero_count value for the ddsketch must be positive")
+        if zero_count > count:
+            raise ValueError(
+                "zero_count value for the ddsketch must not exceed count")
         expected = _HEADER.size + nbuckets * _BUCKET.size
         if len(data) != expected:
             raise ValueError(f"invalid ddsketch size {len(data)}, expected {expected}")
@@ -486,11 +507,14 @@ class DDSketch:
         idx = arr["index"].astype(np.int64)
         cnt = arr["count"].astype(np.int64)
         if np.any(cnt <= 0):
-            raise ValueError("invalid bucket count, must be positive")
+            raise ValueError(
+                "count value for all indexes in a ddsketch must be positive")
         if nneg > 1 and np.any(np.diff(idx[:nneg]) >= 0):
-            raise ValueError("negative bucket indexes not strictly descending")
+            raise ValueError(
+                "invalid sketch - ascending indexes in the negative part")
         if nbuckets - nneg > 1 and np.any(np.diff(idx[nneg:]) <= 0):
-            raise ValueError("positive bucket indexes not strictly ascending")
+            raise ValueError(
+                "invalid sketch - descending indexes in the positive part")
         if int(cnt.sum()) + zero_count != count:
             raise ValueError(
                 f"total count {count} does not match buckets + zero_count "
@@ -531,7 +555,8 @@ class DDSketch:
         ddsketch.c:2651-2847) with the reference's failure cases."""
         m = cls._HEADER_RE.match(text)
         if not m:
-            raise ValueError(f"invalid ddsketch representation: {text[:60]!r}")
+            # message text == reference (ddsketch.c:2677)
+            raise ValueError(f"failed to parse ddsketch value: {text[:60]!r}")
         flags, count, zero_count, maxbuckets, nbuckets, nneg = (
             int(m.group(1)), int(m.group(2)), int(m.group(4)),
             int(m.group(5)), int(m.group(6)), int(m.group(7)),
@@ -541,15 +566,30 @@ class DDSketch:
             raise ValueError(f"invalid sketch flags {flags}")
         validate_alpha(alpha)
         validate_nbuckets(maxbuckets)
-        if not (0 <= nneg <= nbuckets <= maxbuckets):
+        if nneg < 0:
             raise ValueError(
-                f"invalid bucket counts (negative {nneg}, total {nbuckets}, max {maxbuckets})"
-            )
+                f"number of negative buckets ({nneg}) for ddsketch "
+                "must not be negative")
+        if nneg > nbuckets:
+            raise ValueError(
+                f"number of negative buckets ({nneg}) for ddsketch "
+                f"must not exceed nbuckets ({nbuckets})")
+        if nbuckets > maxbuckets:
+            raise ValueError(
+                f"number of buckets ({nbuckets}) for ddsketch "
+                f"must not exceed maxbuckets ({maxbuckets})")
         if count <= 0:
-            raise ValueError(f"invalid count value {count}, must be positive")
-        if not (0 <= zero_count <= count):
-            raise ValueError(f"invalid zero_count value {zero_count}")
+            raise ValueError("count value for the ddsketch must be positive")
+        if zero_count < 0:
+            raise ValueError(
+                "zero_count value for the ddsketch must be positive")
+        if zero_count > count:
+            raise ValueError(
+                "zero_count value for the ddsketch must not exceed count")
         pairs = cls._BUCKET_RE.findall(text, m.end())
+        if len(pairs) > nbuckets:
+            # message text == reference (ddsketch.c:2762)
+            raise ValueError("too many buckets parsed")
         if len(pairs) != nbuckets:
             raise ValueError(
                 f"expected {nbuckets} buckets, found {len(pairs)}"
@@ -557,13 +597,16 @@ class DDSketch:
         idx = [int(a) for a, _ in pairs]
         cnt = [int(b) for _, b in pairs]
         if any(n <= 0 for n in cnt):
-            raise ValueError("invalid bucket count, must be positive")
+            raise ValueError(
+                "count value for all indexes in a ddsketch must be positive")
         for k in range(1, nneg):
             if idx[k] >= idx[k - 1]:
-                raise ValueError("negative bucket indexes not strictly descending")
+                raise ValueError(
+                    "invalid sketch - ascending indexes in the negative part")
         for k in range(nneg + 1, nbuckets):
             if idx[k] <= idx[k - 1]:
-                raise ValueError("positive bucket indexes not strictly ascending")
+                raise ValueError(
+                    "invalid sketch - descending indexes in the positive part")
         if sum(cnt) + zero_count != count:
             raise ValueError(
                 f"total count {count} does not match buckets + zero_count "
@@ -633,8 +676,12 @@ def param_buckets(alpha: float, min_value: float, max_value: float) -> list[dict
     _, mult, min_idx, max_idx = mapping_params(alpha)
     if min_value > max_value:
         raise ValueError(f"invalid range ({min_value:e} > {max_value:e})")
-    if abs(min_value) > max_idx or abs(max_value) > max_idx:
-        raise ValueError("value is outside indexable range")
+    if abs(max_value) > max_idx:
+        raise ValueError(
+            f"maximum value is outside indexable range ({max_value:e} > {max_idx:e})")
+    if abs(min_value) > max_idx:
+        raise ValueError(
+            f"minimum value is outside indexable range ({min_value:e} > {max_idx:e})")
     if abs(min_value) < min_idx:
         min_value = min_idx if max_value > 0 else -min_idx
     if abs(max_value) < min_idx:

@@ -90,10 +90,12 @@ def ddsketch_agg_native(
         wd = F.col(weight_col).cast("double")
         wraw = (F.when(wd.isNull() | F.isnan(wd), F.lit(1).cast("long"))
                 .otherwise(F.col(weight_col).cast("long")))
-        # weights must be > 0 (ddsketch.c:1153-1155) — enforced in-plan
+        # weights must be > 0 (ddsketch.c:1153-1155) — enforced in-plan,
+        # with the reference's message text
         w = F.when(wraw > 0, wraw).otherwise(
-            F.raise_error(F.lit(
-                "count value for the ddsketch must be a positive integer"))
+            F.raise_error(F.concat(
+                F.lit("invalid count value "), wraw.cast("string"),
+                F.lit(", must be a positive value")))
             .cast("long"))
     else:
         w = F.lit(1).cast("long")

@@ -122,7 +122,7 @@ def test_native_overflow_collapse(spark):
 
 def test_native_rejects_nonpositive_weight(spark):
     df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0], "w": [1, 0]}))
-    with pytest.raises(Exception, match="positive integer"):
+    with pytest.raises(Exception, match="must be a positive value"):
         ddsketch_agg_native(df, "v", 0.05, 1024, weight_col="w").collect()
 
 
