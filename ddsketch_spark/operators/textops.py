@@ -346,3 +346,40 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
         raise ValueError("rate must be in [0, 1]")
     threshold = int(rate * (1 << 60))
     return df.where(spark_h64(key_col) < threshold)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """``id, comp`` — connected components of an undirected candidate-pair
+    graph (columns ``a, b``); ``comp`` is the minimum node id reachable,
+    giving each near-duplicate cluster a deterministic canonical survivor.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels, iterating to fixpoint. Rounds needed =
+    graph diameter, and dedup graphs are piles of small dense clusters
+    (diameter 2-4), so this converges in a handful of rounds even at
+    corpus scale; each round is one join + partial-agg min, and
+    ``localCheckpoint`` truncates the growing plan between rounds. (For
+    adversarially long chain graphs, switch to the large-star/small-star
+    doubling variant — O(log n) rounds — not needed for dedup shapes.)
+    """
+    sym = (edges.select("a", "b")
+           .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    labels = (sym.select(F.col("a").alias("id")).distinct()
+              .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.select(F.col("id").alias("b"),
+                                      F.col("comp").alias("nc")), on="b")
+               .groupBy("a").agg(F.min("nc").alias("nmin")))
+        new = (labels.join(nbr.select(F.col("a").alias("id"), "nmin"),
+                           on="id", how="left")
+               .select("id", F.least(
+                   F.col("comp"),
+                   F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), on="id")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels

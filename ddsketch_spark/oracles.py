@@ -745,3 +745,26 @@ agg AS (
 SELECT p.kind, p.q, p.est, a.n_media, a.f0_micro, a.f7_micro
 FROM ({pct}) p JOIN agg a USING (kind)
 """
+
+
+def dedup_clusters_sql(docs_sql: str) -> str:
+    """Rows ``id, comp`` — connected components (min reachable id) of the
+    MinHash-LSH candidate-pair graph, via a recursive CTE: the
+    engine-independent fixpoint the Spark label-propagation loop must hit."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(docs_sql)},
+cpairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bsig = r.bsig
+  WHERE l.id < r.id
+  GROUP BY l.id, r.id
+),
+cedges AS (SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs),
+cnodes AS (SELECT DISTINCT a AS id FROM cedges),
+reach AS (
+  SELECT id, id AS r FROM cnodes
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM reach JOIN cedges e ON e.a = reach.id
+)
+SELECT id, CAST(min(r) AS BIGINT) AS comp FROM reach GROUP BY id
+"""

@@ -358,6 +358,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, pairs, "id", "t")
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: connected components over the MinHash-LSH
+    candidate graph — id, comp (comp = min id in the cluster, the
+    deterministic canonical survivor). The step a dedup pipeline runs
+    after pair generation; Spark side is iterative min-label propagation,
+    the oracle a recursive CTE over the identical graph."""
+    from ddsketch_spark.operators.textops import connected_components
+    pairs = minhash_lsh_pairs(mirrored_docs(spark, sf_dir), "id", "t")
+    return connected_components(pairs).select("id", "comp")
+
+
 def dedup_simhash_docs(spark, sf_dir):
     return simhash(_spread(spark, _t(spark, sf_dir, "documents")),
                    "doc_id", "text")
@@ -471,6 +482,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -538,6 +550,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": oracles.dedup_exact_sql(oracles.mirrored_docs_sql()),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(oracles.mirrored_docs_sql()),
     "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(oracles.mirrored_docs_sql()),
+    "dedup_clusters": oracles.dedup_clusters_sql(oracles.mirrored_docs_sql()),
     "dedup_simhash_docs": oracles.simhash_sql(),
     "dedup_simhash_pairs": oracles.simhash_dup_sql(oracles.mirrored_docs_sql()),
     "dedup_cosine_pairs": oracles.cosine_dup_sql(COS_DUP_THRESHOLD),

@@ -246,3 +246,68 @@ def stateful_quantiles(
     return (stream_df.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout))
+
+
+def windowed_hll_cells(
+    stream_df: DataFrame,
+    ts_col: str,
+    hash_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    p: int = 12,
+) -> DataFrame:
+    """Streaming distinct-count per event-time window, fully JVM-native:
+    HLL registers are a MAX over per-row (register, rho) cells, so — like
+    the DDSketch bucket cells — the whole operator is a built-in
+    watermarked streaming aggregation. Emits (append mode, finalized
+    windows only) ``window_start, window_end, j, rho`` rows; feed them to
+    :func:`assemble_window_hll` for binary sketches / NDV estimates.
+    ``hash_col`` is the shared 60-bit hash (core.hashing.spark_h64)."""
+    from ddsketch_spark.core.hashing import H64_BITS
+
+    m = 1 << p
+    Q = H64_BITS - p + 1
+    h = F.col(hash_col)
+    wrem = F.expr(f"{hash_col} div {m}")
+    rho = (F.when(wrem == 0, F.lit(Q))
+           .otherwise(F.lit(Q) - F.length(F.bin(wrem)))).cast("int")
+    return (
+        stream_df
+        .withWatermark(ts_col, watermark_delay)
+        .where(h.isNotNull())
+        .select(F.col(ts_col), (h % m).alias("j"), rho.alias("rho"))
+        .groupBy(F.window(ts_col, window_duration), "j")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"), "j", "rho")
+    )
+
+
+def assemble_window_hll(cell_rows: DataFrame, p: int = 12) -> DataFrame:
+    """Batch post-processing of :func:`windowed_hll_cells` output:
+    ``window_start, window_end, sketch binary, ndv`` per finalized window."""
+    import numpy as np
+
+    from ddsketch_spark.core.hll import HLL
+
+    out_schema = StructType([
+        StructField("window_start", TimestampType(), False),
+        StructField("window_end", TimestampType(), False),
+        StructField("sketch", BinaryType(), False),
+        StructField("ndv", LongType(), False),
+    ])
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = HLL(p)
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[pdf["j"].to_numpy(dtype=np.int64)] = pdf["rho"].to_numpy(dtype=np.int64)
+        s.registers = regs
+        return pd.DataFrame({
+            "window_start": [pdf["window_start"].iloc[0]],
+            "window_end": [pdf["window_end"].iloc[0]],
+            "sketch": [s.to_bytes()],
+            "ndv": [int(s.estimate())],
+        })
+
+    return (cell_rows.groupBy("window_start", "window_end")
+            .applyInPandas(assemble, schema=out_schema))

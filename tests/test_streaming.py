@@ -199,3 +199,63 @@ def test_windowed_watermark_native_agg(spark, tmp_path):
     key11 = base + pd.Timedelta(hours=1)
     assert DDSketch.from_bytes(bytes(by_start[key11]["sketch"])) == w11
     assert by_start[key11]["n"] == 4
+
+
+def test_windowed_hll_cells_equals_batch(spark, tmp_path):
+    """Streaming windowed HLL (register-max as a built-in watermarked agg)
+    assembles to the same registers/NDV as a batch HLL over the same
+    finalized-window rows."""
+    import time as _time
+
+    from ddsketch_spark.core.hashing import py_h64
+    from ddsketch_spark.core.hll import HLL
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_window_hll, windowed_hll_cells,
+    )
+
+    src = str(tmp_path / "hsrc")
+    ckpt = str(tmp_path / "hckpt")
+    out_dir = str(tmp_path / "hout")
+    base = pd.Timestamp("2025-06-01 10:00:00")
+
+    def write_file(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "h"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    w10_users = [f"user{i}" for i in range(40)] * 2      # dups collapse
+    w11_users = [f"user{i}" for i in range(25, 60)]
+    write_file([(base + pd.Timedelta(minutes=i % 50), py_h64(u))
+                for i, u in enumerate(w10_users)]
+               + [(base + pd.Timedelta(minutes=70), py_h64("adv"))])
+    write_file([(base + pd.Timedelta(minutes=65 + i % 40), py_h64(u))
+                for i, u in enumerate(w11_users)])
+    write_file([(base + pd.Timedelta(minutes=200), py_h64("adv2"))])
+
+    stream = (spark.readStream.schema("ts timestamp, h long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cells = windowed_hll_cells(stream, "ts", "h", "1 hour", "30 minutes", p=12)
+    q = (cells.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination()
+
+    got = {r["window_start"]: r
+           for r in assemble_window_hll(spark.read.parquet(out_dir), 12).collect()}
+    assert base in got and base + pd.Timedelta(hours=1) in got
+
+    def batch_hll(users):
+        s = HLL(12)
+        import numpy as np
+        s.update(np.array([py_h64(u) for u in users], dtype=np.int64))
+        return s
+
+    want10 = batch_hll(w10_users)
+    assert HLL.from_bytes(bytes(got[base]["sketch"])).registers.tolist() \
+        == want10.registers.tolist()
+    assert got[base]["ndv"] == int(want10.estimate())
+    want11 = batch_hll(w11_users + ["adv"])
+    key11 = base + pd.Timedelta(hours=1)
+    assert HLL.from_bytes(bytes(got[key11]["sketch"])).registers.tolist() \
+        == want11.registers.tolist()

@@ -187,3 +187,18 @@ def test_sibling_percentile_apis(spark):
     ndv = dds.hll_ndv(df.selectExpr("CAST(v AS STRING) AS s"), "s"
                       ).collect()[0]["ndv_est"]
     assert abs(ndv - 30_000) / 30_000 < 0.05
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation reaches the fixpoint on a chain (worst-case
+    diameter) and on disjoint clusters; comp = min reachable id."""
+    from ddsketch_spark.operators.textops import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)], ["a", "b"])
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
