@@ -141,7 +141,10 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         text_col: str = "text") -> DataFrame:
     """Exact shingle-set Jaccard for candidate ``(a, b)`` pairs:
     ``a, b, jacc`` (rounded to 6 dp). Distinct-shingle join — candidates
-    only, never the full cross product."""
+    only, never the full cross product. (Measured: checkpointing the
+    distinct-shingle relation to share it across its three subtrees is a
+    net LOSS here — materialization + broken pipelining costs more than
+    the recompute.)"""
     sh = shingle_rows(df, id_col, text_col).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -364,6 +367,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """
     sym = (edges.select("a", "b")
            .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    # materialize the edge list ONCE: every round joins it, and without
+    # this each round re-executes the whole upstream candidate pipeline
+    # (measured 9x slower at sf0.1). Edges are two longs per candidate
+    # pair — tiny relative to the corpus they came from.
+    sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("a").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
     for _ in range(max_iter):
