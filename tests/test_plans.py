@@ -95,3 +95,33 @@ def test_partial_aggregation_bounds_shuffle(spark, pages_path):
     plan = _plan(agg)
     assert "__bidx" in plan and "__part" in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_minhash_pairs_scans_docs_once(spark, tmp_path):
+    """The LSH pair plan must contain exactly ONE scan of the documents
+    table: the r1 bands self-join shape recomputed the whole
+    shingle+signature pipeline for both sides (two scans, ~2.5x slower)."""
+    from ddsketch_spark.operators.textops import minhash_lsh_pairs
+
+    p = str(tmp_path / "docs")
+    pdf = pd.DataFrame({"id": range(200),
+                        "t": [f"document number {i} lorem ipsum" for i in range(200)]})
+    spark.createDataFrame(pdf).write.parquet(p)
+    pairs = minhash_lsh_pairs(spark.read.parquet(p), "id", "t")
+    plan = _plan(pairs)
+    # count the numbered node headers, not the tree rendering (each node
+    # appears once in the tree and once in the detail section)
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected 1 doc scan, plan has {scans}:\n{plan[:2000]}"
+
+
+def test_rank_bound_verify_single_scan_no_crossjoin(spark):
+    """The rank-bound verification is one conditional-sum pass: no
+    BroadcastNestedLoopJoin / CartesianProduct row amplification."""
+    from ddsketch_spark.queries import kll_rank_bound_price
+
+    out = kll_rank_bound_price(spark, "/root/testdata/sf0.001")
+    plan = _plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, plan[:2000]
