@@ -117,6 +117,12 @@ def main() -> None:
                          "note": "4N crosses into SMT; pure-CPU ceiling "
                                  "on this box measured 0.6-0.78"},
             "peak_docs_per_sec": 8843983,
+            # reference-methodology (cached numeric table, agg only):
+            # 19.7M docs/s at local[4], 38.3M at local[16] — vs the
+            # reference's 11.2M rows/s at 4 workers (cached PG table)
+            "cached_table_docs_per_sec": {"local4": 19679037,
+                                          "local16": 38325227,
+                                          "local32": 30783481},
         },
         # hot-key merge strategies (tools/skew_bench.py, 512 heavy partials
         # on one key): map-side combine 2.0-2.4x over single-round merge
