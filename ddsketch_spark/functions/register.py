@@ -103,3 +103,59 @@ def register_sql_functions(spark: SparkSession) -> None:
         ("ddsketch_in", ddsketch_in),
     ]:
         spark.udf.register(name, fn)
+
+
+def register_sibling_sql_functions(spark: SparkSession) -> None:
+    """SQL-callable scalar surface for the sibling sketches (north-rule
+    additions): NDV / frequency / membership / quantile extraction over
+    stored sketch BINARY columns, so `SELECT hll_ndv(sketch) FROM t`
+    works like the reference's SQL extraction functions do for DDSketch."""
+    from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+    from ddsketch_spark.core import kll as kll_mod
+    from ddsketch_spark.core import tdigest as td_mod
+    from ddsketch_spark.core.bloom import Bloom
+    from ddsketch_spark.core.cms import CMS
+    from ddsketch_spark.core.hll import HLL
+
+    @F.pandas_udf(DoubleType())
+    def hll_ndv(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: float(HLL.from_bytes(bytes(b)).estimate())
+                     if b is not None else None)
+
+    @F.pandas_udf(LongType())
+    def cms_freq(s: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series([
+            int(CMS.from_bytes(bytes(b)).estimate([int(x)])[0])
+            if b is not None and x is not None else None
+            for b, x in zip(s, h)], dtype="object")
+
+    @F.pandas_udf(BooleanType())
+    def bloom_might_contain(s: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series([
+            bool(Bloom.from_bytes(bytes(b)).contains([int(x)])[0])
+            if b is not None and x is not None else None
+            for b, x in zip(s, h)], dtype="object")
+
+    @F.pandas_udf(DoubleType())
+    def kll_quantile(s: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series([
+            float(kll_mod.from_bytes(bytes(b)).quantile(float(x)))
+            if b is not None and x is not None else None
+            for b, x in zip(s, q)], dtype="object")
+
+    @F.pandas_udf(DoubleType())
+    def tdigest_quantile(s: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series([
+            float(td_mod.from_bytes(bytes(b)).quantile(float(x)))
+            if b is not None and x is not None else None
+            for b, x in zip(s, q)], dtype="object")
+
+    for name, fn in [
+        ("hll_ndv", hll_ndv),
+        ("cms_freq", cms_freq),
+        ("bloom_might_contain", bloom_might_contain),
+        ("kll_quantile", kll_quantile),
+        ("tdigest_quantile", tdigest_quantile),
+    ]:
+        spark.udf.register(name, fn)

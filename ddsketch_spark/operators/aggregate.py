@@ -76,6 +76,15 @@ def sketch_partials(
     # explicit projection: mapInPandas is a pruning barrier, so never let
     # wide columns (e.g. html binary) cross into Python (SURVEY §4.1)
     projected = df.select(*cols)
+    # int64 inputs (pre-hashed columns for HLL/CMS/Bloom) MUST drop NULLs
+    # JVM-side: a nullable int64 Arrow batch lands in pandas as float64,
+    # which silently destroys the low bits of 60-bit hash values
+    # (2^60 has 256-ulp granularity in float64) — the kernel would sketch
+    # corrupted hashes. NULLs contribute nothing to a hash sketch, so the
+    # filter is semantics-preserving; the float path keeps NULL rows (they
+    # arrive as NaN and the kernels skip them, with n still counting them).
+    if getattr(factory(), "input_dtype", "float64") == "int64":
+        projected = projected.where(F.col(value_col).isNotNull())
     if fanout and fanout > 1:
         projected = projected.repartition(fanout)
     projected = projected.withColumn("__pid", F.spark_partition_id())

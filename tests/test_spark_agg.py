@@ -281,3 +281,33 @@ def test_map_side_combine_identical_result(spark, data):
         for k in base:
             assert from_bytes(got[k][0]) == from_bytes(base[k][0]), (k, fanout, combine)
             assert got[k][1] == base[k][1]
+
+
+def test_sibling_sql_function_surface(spark, data):
+    """SQL users can extract NDV/freq/membership/quantiles from stored
+    sibling-sketch tables, like the reference's SQL surface for DDSketch."""
+    import numpy as np
+
+    from ddsketch_spark.core.hashing import py_h64, spark_h64
+    from ddsketch_spark.core.hll import HLL
+    from ddsketch_spark.core.kll import KLL
+    from ddsketch_spark.core import kll as kll_mod
+    from ddsketch_spark.functions.register import register_sibling_sql_functions
+
+    register_sibling_sql_functions(spark)
+    df, pdf = data
+
+    hdf = df.select(spark_h64(F.col("v").cast("string")).alias("h"))
+    sketch_agg(hdf, "h", factory=lambda: HLL(12),
+               from_bytes=__import__("ddsketch_spark.core.hll",
+                                     fromlist=["from_bytes"]).from_bytes) \
+        .createOrReplaceTempView("hll_t")
+    got = spark.sql("SELECT hll_ndv(sketch) AS ndv FROM hll_t").collect()[0]["ndv"]
+    want = HLL(12)
+    want.update(np.array([py_h64(str(v)) for v in pdf["v"]], dtype=np.int64))
+    assert got == pytest.approx(want.estimate())
+
+    sketch_agg(df, "v", factory=lambda: KLL(200),
+               from_bytes=kll_mod.from_bytes).createOrReplaceTempView("kll_t")
+    est = spark.sql("SELECT kll_quantile(sketch, 0.5) AS m FROM kll_t").collect()[0]["m"]
+    assert abs(np.mean(pdf["v"] <= est) - 0.5) < 0.1

@@ -135,3 +135,20 @@ def test_query_matches_oracle_sf0001(spark, name):
     for c in a.columns:
         for x, y in zip(a[c], b[c]):
             assert x == y or (pd.isna(x) and pd.isna(y)), (c, x, y)
+
+
+def test_hash_sketch_with_nulls_not_degraded(spark):
+    """Regression: a NULLable int64 hash column crosses Arrow->pandas as
+    float64, which rounds 60-bit hashes to 256-hash granularity and
+    collapsed HLL registers (estimate off by >20x). NULLs must be dropped
+    JVM-side before the Python stage."""
+    df = (spark.range(0, 5000)
+          .select(F.when(F.col("id") % 100 == 0, None)
+                  .otherwise(spark_h64(F.col("id").cast("string"))).alias("h")))
+    out = sketch_agg(df, "h", factory=lambda: HLL(12),
+                     from_bytes=hll_mod.from_bytes).collect()[0]
+    got = HLL.from_bytes(bytes(out["sketch"]))
+    want = HLL(12).update(np.array(
+        [py_h64(str(i)) for i in range(5000) if i % 100 != 0], dtype=np.int64))
+    assert got == want
+    assert abs(got.estimate() - 4950) / 4950 < 0.05
