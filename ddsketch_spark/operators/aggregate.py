@@ -291,6 +291,7 @@ def merge_sketches(
     sketch_col: str,
     keys: Sequence[str] = (),
     from_bytes: Callable[[bytes], object] = dd_from_bytes,
+    map_side_combine: bool = False,
 ) -> DataFrame:
     """Re-aggregate stored sketches (``ddsketch(sketch)`` N-way merge,
     reference ddsketch.c:1439-1520): ``keys..., sketch binary, n long``.
@@ -305,4 +306,8 @@ def merge_sketches(
         .withColumn("part_id", F.spark_partition_id().cast("long"))
         .withColumn("n", F.lit(1).cast("long"))
     )
-    return merge_partials(partials, keys, from_bytes)
+    # map_side_combine pays off when many stored sketch rows per key share
+    # a scan partition (see merge_partials; measured on hot keys in
+    # tools/skew_bench.py) — keep it off for small reagg jobs
+    return merge_partials(partials, keys, from_bytes,
+                          map_side_combine=map_side_combine)

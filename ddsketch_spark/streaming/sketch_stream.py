@@ -1,7 +1,7 @@
 """Structured Streaming sketch maintenance — the Spark-native re-expression
 of the reference's incremental API (lifecycle C: ``ddsketch_add`` /
 ``ddsketch_union`` UPDATE loops, /root/reference/README.md:199-243 and
-ddsketch.c:2402-2648). Three shapes:
+ddsketch.c:2402-2648). The shapes:
 
 1. :func:`foreach_batch_maintainer` — each micro-batch builds partial
    sketches with the JVM-native path and unions them into a persistent,
@@ -23,7 +23,12 @@ ddsketch.c:2402-2648). Three shapes:
    hot path at all. :func:`assemble_window_sketches` turns the emitted
    bucket rows into binary sketches per window.
 
-3. :func:`stateful_quantiles` — ``applyInPandasWithState`` keeping one
+3. :func:`windowed_hll_cells` / :func:`sessionized_bucket_counts` — the
+   same built-in-aggregation trick for windowed distinct counts (HLL
+   register max) and per-key session windows (cells carried inside the
+   aggregation, since sessions merge per grouping key).
+
+4. :func:`stateful_quantiles` — ``applyInPandasWithState`` keeping one
    serialized sketch per key in Spark's state store, emitting running
    quantiles each batch: the custom-stateful-operator shape for when state
    must live inside the streaming engine (exactly-once with the
@@ -311,3 +316,44 @@ def assemble_window_hll(cell_rows: DataFrame, p: int = 12) -> DataFrame:
 
     return (cell_rows.groupBy("window_start", "window_end")
             .applyInPandas(assemble, schema=out_schema))
+
+
+def sessionized_bucket_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    gap: str,
+    watermark_delay: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Per-key SESSION-window sketch cells (append mode):
+    ``key, session_start, session_end, __part, __bidx, cnt``.
+
+    Session windows merge only within an identical grouping key, so —
+    unlike the fixed-window shape — the sketch cells must ride INSIDE the
+    aggregation: grouping by (session, key, cell) would split one user
+    session into one session per occupied bucket. Each finalized session
+    therefore carries ``cells`` = one (part, bidx) struct per event
+    (session event counts are bounded by the gap, so the list stays
+    small); :func:`assemble_window_sketches`-style post-processing sums
+    them into bucket counts. Still a built-in streaming aggregation; no
+    Python in the hot path."""
+    part, bidx = dd_bucket_exprs(value_col, alpha)
+    v = F.col(value_col)
+    keep = ~(v.isNull() | F.isnan(v.cast("double")))
+    return (
+        stream_df
+        .withWatermark(ts_col, watermark_delay)
+        .where(keep)
+        .select(F.col(ts_col), F.col(key_col).alias("key"), part, bidx)
+        .groupBy(F.session_window(F.col(ts_col), gap), "key")
+        .agg(F.collect_list(F.struct(F.col("__part").alias("part"),
+                                     F.col("__bidx").alias("bidx")))
+             .alias("cells"),
+             F.count(F.lit(1)).alias("cnt"))
+        .select("key",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "cells", "cnt")
+    )

@@ -259,3 +259,51 @@ def test_windowed_hll_cells_equals_batch(spark, tmp_path):
     key11 = base + pd.Timedelta(hours=1)
     assert HLL.from_bytes(bytes(got[key11]["sketch"])).registers.tolist() \
         == want11.registers.tolist()
+
+
+def test_sessionized_sketch_cells(spark, tmp_path):
+    """Per-key session windows: two bursts separated by more than the gap
+    form two sessions, each carrying its own sketch cells; sessions
+    finalize once the watermark passes session_end."""
+    import time as _time
+
+    from ddsketch_spark.streaming.sketch_stream import sessionized_bucket_counts
+
+    src = str(tmp_path / "ssrc")
+    ckpt = str(tmp_path / "sckpt")
+    out_dir = str(tmp_path / "sout")
+    base = pd.Timestamp("2025-06-01 10:00:00")
+
+    def write_file(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    # burst 1 for user u1 (10:00-10:02, gap 5m), burst 2 (10:30-10:31)
+    write_file([(base, "u1", 10.0),
+                (base + pd.Timedelta(minutes=2), "u1", 20.0),
+                (base + pd.Timedelta(minutes=30), "u1", 30.0),
+                (base + pd.Timedelta(minutes=31), "u1", 40.0)])
+    # advance the watermark far past both sessions
+    write_file([(base + pd.Timedelta(hours=3), "u2", 1.0)])
+
+    stream = (spark.readStream.schema("ts timestamp, k string, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cells = sessionized_bucket_counts(stream, "ts", "k", "v",
+                                      "5 minutes", "10 minutes", alpha=0.01)
+    q = (cells.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    u1 = got[got["key"] == "u1"].sort_values("session_start")
+    assert len(u1) == 2  # two bursts -> two finalized sessions
+    s1, s2 = u1.iloc[0], u1.iloc[1]
+    # session 1: rows at 10:00 and 10:02 -> end = last event + gap
+    assert s1["session_start"] == base and s1["cnt"] == 2
+    assert s1["session_end"] == base + pd.Timedelta(minutes=7)
+    assert len(s1["cells"]) == 2
+    assert s2["session_start"] == base + pd.Timedelta(minutes=30)
+    assert s2["cnt"] == 2 and len(s2["cells"]) == 2
