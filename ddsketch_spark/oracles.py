@@ -768,3 +768,70 @@ reach AS (
 )
 SELECT id, CAST(min(r) AS BIGINT) AS comp FROM reach GROUP BY id
 """
+
+
+def pipeline_prepared_sql(quality_min: float, sample_rate: float) -> str:
+    """Rows ``doc_id, tokens, quality, fp`` — the full training-data-prep
+    pipeline mirrored in one SQL statement: exact dedup (min-id survivor
+    per text) -> MinHash-LSH near-dup clustering (keep each cluster's
+    canonical min id) -> language filter (lang_pred = 'en') -> quality
+    threshold -> deterministic hash sample."""
+    t = "t"
+    padded = f"(' ' || {t} || ' ')"
+    toks = (f"(CASE WHEN length({t}) = 0 THEN 0 ELSE length({t})"
+            f" - length(replace({t}, ' ', '')) + 1 END)")
+    scores = {
+        lang: " + ".join(_occ_sql(padded, w) for w in LANGID_STOPWORDS[lang])
+        for lang in LANGID_LANGS
+    }
+    score_cols = ", ".join(f"({scores[l]}) AS sc_{l}" for l in LANGID_LANGS)
+    mx = "greatest(" + ", ".join(f"sc_{l}" for l in LANGID_LANGS) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN sc_{l} = {mx} THEN '{l}'" for l in LANGID_LANGS) + " END"
+    w1, w2, w3, w4 = QUALITY_WEIGHTS
+    stop = " + ".join(_occ_sql(padded, w) for w in QUALITY_STOPWORDS)
+    alpha = f"CAST(length(regexp_replace({t}, '[^a-z]', '', 'g')) AS DOUBLE)"
+    digit = f"CAST(length(regexp_replace({t}, '[^0-9]', '', 'g')) AS DOUBLE)"
+    space = f"CAST(length({t}) - length(replace({t}, ' ', '')) AS DOUBLE)"
+    ln = f"CAST(length({t}) AS DOUBLE)"
+    quality = (f"CASE WHEN length({t}) > 0 THEN round("
+               f"{_lit(w1)} * ({alpha} / {ln})"
+               f" + {_lit(w2)} * (CAST({stop} AS DOUBLE) / CAST({toks} AS DOUBLE))"
+               f" + {_lit(w3)} * (1.0 - {digit} / {ln})"
+               f" + {_lit(w4)} * ({space} / {ln}), 6) ELSE 0.0 END")
+    threshold = int(sample_rate * (1 << 60))
+    return f"""
+WITH RECURSIVE
+sdocs AS (SELECT min(doc_id) AS id, text AS t FROM documents GROUP BY text),
+{_minhash_ctes("(SELECT id, t FROM sdocs)")},
+cpairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bsig = r.bsig
+  WHERE l.id < r.id
+  GROUP BY l.id, r.id
+),
+cedges AS (SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs),
+cnodes AS (SELECT DISTINCT a AS id FROM cedges),
+reach AS (
+  SELECT id, id AS r FROM cnodes
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM reach JOIN cedges e ON e.a = reach.id
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+canon AS (
+  SELECT s.id, s.t FROM sdocs s LEFT JOIN comp c ON c.id = s.id
+  WHERE c.comp IS NULL OR c.comp = s.id
+),
+scored AS (
+  SELECT id AS doc_id, t,
+         CAST({toks} AS BIGINT) AS tokens,
+         {quality} AS quality,
+         {duckdb_h64(t)} AS fp,
+         {score_cols}
+  FROM canon
+)
+SELECT doc_id, tokens, quality, fp
+FROM scored
+WHERE ({lang_case}) = 'en' AND quality >= {_lit(quality_min)}
+  AND fp < {threshold}
+"""

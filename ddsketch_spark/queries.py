@@ -418,6 +418,38 @@ def text_profile_docs(spark, sf_dir):
     return prof.join(rolling_fingerprint_col(d), on="doc_id")
 
 
+PIPE_QUALITY_MIN = 0.565
+PIPE_SAMPLE_RATE = 0.5
+
+
+def pipeline_prepared_docs(spark, sf_dir):
+    """doc_id, tokens, quality, fp — the END-TO-END training-data prep
+    pipeline as one query: exact dedup (min-id survivor per text) ->
+    MinHash-LSH near-dup clustering (keep each cluster's canonical id) ->
+    language filter (en) -> quality threshold -> deterministic hash
+    sample. Every stage is an existing catalog operator; the oracle
+    mirrors the whole composition in a single recursive-CTE statement."""
+    from ddsketch_spark.operators.textops import connected_components
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    surv = (d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "text"))
+    pairs = minhash_lsh_pairs(surv, "doc_id", "text")
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    canon = (surv.join(comp, on="doc_id", how="left")
+             .where(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id"))))
+    prof = canon.select(
+        "doc_id", "text",
+        token_count_col("text").alias("tokens"),
+        langid_col("text").alias("lang_pred"),
+        quality_score_col("text").alias("quality"))
+    kept = prof.where((F.col("lang_pred") == "en")
+                      & (F.col("quality") >= PIPE_QUALITY_MIN))
+    sampled = hash_sample(kept, "text", PIPE_SAMPLE_RATE)
+    return sampled.select("doc_id", "tokens", "quality",
+                          fingerprint_col("text").alias("fp"))
+
+
 N_MEDIA = 300
 MEDIA_SEED = 7
 
@@ -492,6 +524,7 @@ QUERIES: dict[str, Callable] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
     "multimodal_feature_stats": multimodal_feature_stats,
+    "pipeline_prepared_docs": pipeline_prepared_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -564,4 +597,6 @@ ORACLES: dict[str, str] = {
     "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
     "multimodal_feature_stats": oracles.multimodal_stats_sql(
         N_MEDIA, MEDIA_SEED, 0.01, [0.5, 0.95]),
+    "pipeline_prepared_docs": oracles.pipeline_prepared_sql(
+        PIPE_QUALITY_MIN, PIPE_SAMPLE_RATE),
 }
