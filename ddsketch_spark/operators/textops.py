@@ -356,14 +356,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     graph (columns ``a, b``); ``comp`` is the minimum node id reachable,
     giving each near-duplicate cluster a deterministic canonical survivor.
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels, iterating to fixpoint. Rounds needed =
-    graph diameter, and dedup graphs are piles of small dense clusters
-    (diameter 2-4), so this converges in a handful of rounds even at
-    corpus scale; each round is one join + partial-agg min, and
-    ``localCheckpoint`` truncates the growing plan between rounds. (For
-    adversarially long chain graphs, switch to the large-star/small-star
-    doubling variant — O(log n) rounds — not needed for dedup shapes.)
+    Min-label propagation WITH pointer doubling: each round every node
+    takes the min of its own label, its neighbors' labels, and its
+    label's label (path halving). The neighbor step alone needs
+    O(diameter) rounds; the doubling step collapses chains exponentially,
+    giving O(log n) rounds even on adversarial path graphs (same idea as
+    the large-star/small-star algorithm). Dedup graphs are piles of small
+    dense clusters, so convergence is typically 2-4 rounds; each round is
+    two joins + a partial-agg min, and ``localCheckpoint`` truncates the
+    growing plan between rounds.
     """
     sym = (edges.select("a", "b")
            .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))))
@@ -378,11 +379,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         nbr = (sym.join(labels.select(F.col("id").alias("b"),
                                       F.col("comp").alias("nc")), on="b")
                .groupBy("a").agg(F.min("nc").alias("nmin")))
-        new = (labels.join(nbr.select(F.col("a").alias("id"), "nmin"),
-                           on="id", how="left")
-               .select("id", F.least(
-                   F.col("comp"),
-                   F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"))
+        stepped = (labels.join(nbr.select(F.col("a").alias("id"), "nmin"),
+                               on="id", how="left")
+                   .select("id", F.least(
+                       F.col("comp"),
+                       F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp")))
+        # pointer doubling: comp <- min(comp, comp[comp]); labels are
+        # always node ids, so the self-join resolves (path halving)
+        new = (stepped.alias("x")
+               .join(stepped.select(F.col("id").alias("cid"),
+                                    F.col("comp").alias("ccomp")).alias("y"),
+                     F.col("x.comp") == F.col("y.cid"), "left")
+               .select(F.col("x.id").alias("id"),
+                       F.least(F.col("x.comp"),
+                               F.coalesce(F.col("y.ccomp"), F.col("x.comp")))
+                       .alias("comp"))
                .localCheckpoint(eager=True))
         changed = (new.alias("n")
                    .join(labels.alias("o"), on="id")

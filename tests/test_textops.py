@@ -202,3 +202,18 @@ def test_connected_components_chain_and_clusters(spark):
     got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_logn_rounds(spark):
+    """Pointer doubling collapses a 200-node path graph within the
+    O(log n) iteration budget — pure neighbor propagation would need ~200
+    rounds and return unconverged labels under the same cap."""
+    from ddsketch_spark.operators.textops import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["a", "b"])
+    got = {r["id"]: r["comp"]
+           for r in connected_components(edges, max_iter=12).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
