@@ -375,6 +375,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("a").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (sym.join(labels.select(F.col("id").alias("b"),
                                       F.col("comp").alias("nc")), on="b")
@@ -395,10 +396,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                                F.coalesce(F.col("y.ccomp"), F.col("x.comp")))
                        .alias("comp"))
                .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), on="id")
-                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        # labels are per-node monotone non-increasing, so the label SUM
+        # strictly decreases iff anything changed — one scalar agg per
+        # round instead of a join + count
+        new_sum = new.agg(F.sum("comp")).collect()[0][0]
+        converged = prev_sum is not None and new_sum == prev_sum
+        prev_sum = new_sum
         labels = new
-        if changed == 0:
+        if converged:
             break
     return labels
