@@ -294,6 +294,42 @@ def _rank_bound_query(spark, sf_dir, factory, from_bytes, quantile_fn):
     return rows.select("q", ok.alias("ok"))
 
 
+def _rank_bound_weighted_query(spark, sf_dir, factory, from_bytes,
+                               quantile_fn):
+    """Weighted sibling of _rank_bound_query: the sketch is built with
+    count weights (KLL decomposes a weight w into one item per set bit of
+    w at the matching level), and the exact rank check runs over the
+    weighted distribution — sum(w) replaces row counts. Output q, ok."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"))
+    built = sketch_agg(df, "v", factory=factory, from_bytes=from_bytes,
+                       weight_col="w")
+    ests = built.select(
+        quantile_fn(F.col("sketch"), BOUND_QS).alias("est")).collect()[0]["est"]
+    aggs = []
+    for i, e in enumerate(ests):
+        lit = F.lit(float(e))
+        aggs.append(F.sum(F.when(F.col("v") < lit, F.col("w"))
+                          .otherwise(F.lit(0))).alias(f"lt{i}"))
+        aggs.append(F.sum(F.when(F.col("v") <= lit, F.col("w"))
+                          .otherwise(F.lit(0))).alias(f"le{i}"))
+    wide = df.agg(*aggs, F.sum("w").alias("n"))
+    stack_args = ", ".join(
+        f"CAST({q} AS DOUBLE), lt{i}, le{i}" for i, q in enumerate(BOUND_QS))
+    rows = wide.select(
+        F.expr(f"stack({len(BOUND_QS)}, {stack_args}) as (q, lt, le)"), "n")
+    eps = F.lit(RANK_BOUND_EPS)
+    ok = ((F.col("lt") / F.col("n") <= F.col("q") + eps)
+          & (F.col("le") / F.col("n") >= F.col("q") - eps))
+    return rows.select("q", ok.alias("ok"))
+
+
+def kll_weighted_rank_bound_price(spark, sf_dir):
+    return _rank_bound_weighted_query(spark, sf_dir, lambda: KLL(200),
+                                      kll_mod.from_bytes, kll_quantile)
+
+
 def kll_rank_bound_price(spark, sf_dir):
     return _rank_bound_query(spark, sf_dir, lambda: KLL(200),
                              kll_mod.from_bytes, kll_quantile)
@@ -510,6 +546,7 @@ QUERIES: dict[str, Callable] = {
     "cms_freq_weighted_event_types": cms_freq_weighted_event_types,
     "bloom_member_orderkeys": bloom_member_orderkeys,
     "kll_rank_bound_price": kll_rank_bound_price,
+    "kll_weighted_rank_bound_price": kll_weighted_rank_bound_price,
     "tdigest_rank_bound_price": tdigest_rank_bound_price,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -579,6 +616,7 @@ ORACLES: dict[str, str] = {
     "bloom_member_orderkeys": oracles.bloom_member_sql(
         "orders", "o_orderkey", 1 << 16, 5, BLOOM_PROBES),
     "kll_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
+    "kll_weighted_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
     "tdigest_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
     "dedup_exact_docs": oracles.dedup_exact_sql(oracles.mirrored_docs_sql()),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(oracles.mirrored_docs_sql()),

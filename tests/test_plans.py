@@ -125,3 +125,22 @@ def test_rank_bound_verify_single_scan_no_crossjoin(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert scans == 1, plan[:2000]
+
+
+def test_windowed_streaming_agg_is_jvm_native(spark, tmp_path):
+    """The watermarked windowed sketch aggregation must contain NO Python
+    evaluation nodes — the whole operator is built-in expressions +
+    streaming HashAggregate over (window, part, bidx) cells."""
+    from ddsketch_spark.streaming.sketch_stream import windowed_bucket_counts
+
+    src = str(tmp_path / "plansrc")
+    spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp("2025-01-01")], "v": [1.0]})
+    ).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    cells = windowed_bucket_counts(stream, "ts", "v", "1 hour", "10 minutes")
+    # streaming DF: use the analyzed/optimized explain string
+    text = cells._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+    assert "pythonUDF" not in text and "PythonUDF" not in text, text[:1500]
+    assert "window" in text.lower()
