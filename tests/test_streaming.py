@@ -307,3 +307,63 @@ def test_sessionized_sketch_cells(spark, tmp_path):
     assert len(s1["cells"]) == 2
     assert s2["session_start"] == base + pd.Timedelta(minutes=30)
     assert s2["cnt"] == 2 and len(s2["cells"]) == 2
+
+
+def test_windowed_agg_restart_exactly_once(spark, tmp_path):
+    """Stop/restart with the same checkpoint: already-emitted windows are
+    NOT re-emitted, state carries across runs, and a window fed by rows
+    from both runs finalizes once with the full contents."""
+    import time as _time
+
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_window_sketches, windowed_bucket_counts,
+    )
+
+    src = str(tmp_path / "rsrc")
+    ckpt = str(tmp_path / "rckpt")
+    out_dir = str(tmp_path / "rout")
+    base = pd.Timestamp("2025-06-01 10:00:00")
+
+    def write_file(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "v"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    def run_once():
+        stream = (spark.readStream.schema("ts timestamp, v double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        cells = windowed_bucket_counts(stream, "ts", "v", "1 hour",
+                                       "30 minutes", alpha=0.01)
+        q = (cells.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .format("parquet").option("path", out_dir).start())
+        q.awaitTermination()
+
+    # run 1: window 10-11 closes (watermark 11:30), window 11-12 open
+    write_file([(base + pd.Timedelta(minutes=10), 1.0),
+                (base + pd.Timedelta(minutes=70), 2.0)])
+    write_file([(base + pd.Timedelta(minutes=120), 3.0)])
+    run_once()
+    first = assemble_window_sketches(spark.read.parquet(out_dir)).collect()
+    assert {r["window_start"] for r in first} == {base}
+
+    # run 2 (same checkpoint): more rows into the still-open 11-12 window
+    # (carried in the state store across the restart), then advance far
+    write_file([(base + pd.Timedelta(minutes=80), 4.0)])
+    write_file([(base + pd.Timedelta(minutes=300), 5.0)])
+    run_once()
+    got = {r["window_start"]: r
+           for r in assemble_window_sketches(spark.read.parquet(out_dir)).collect()}
+    # window 10-11 appears exactly once (no re-emission after restart)
+    w10 = DDSketch(0.01, 2048).update(np.array([1.0]))
+    assert DDSketch.from_bytes(bytes(got[base]["sketch"])) == w10
+    # window 11-12 = run-1 row (2.0, restored from checkpointed state) +
+    # run-2 row (4.0)
+    key11 = base + pd.Timedelta(hours=1)
+    w11 = DDSketch(0.01, 2048).update(np.array([2.0, 4.0]))
+    assert DDSketch.from_bytes(bytes(got[key11]["sketch"])) == w11
+    # window 12-13 closed too (watermark from the 15:00 row)
+    key12 = base + pd.Timedelta(hours=2)
+    assert DDSketch.from_bytes(bytes(got[key12]["sketch"])) == \
+        DDSketch(0.01, 2048).update(np.array([3.0]))
