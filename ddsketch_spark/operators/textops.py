@@ -163,8 +163,8 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), on="b")
         .select(
             "a", "b",
-            F.round(F.col("inter").cast("double")
-                    / (F.col("sza") + F.col("szb") - F.col("inter")), 6)
+            round6(F.col("inter").cast("double")
+                   / (F.col("sza") + F.col("szb") - F.col("inter")))
             .alias("jacc"))
     )
 
@@ -198,6 +198,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 
 # ------------------------------------------------------------------ text metrics
+
+def round6(col: Column) -> Column:
+    """Deterministic 6-dp rounding: ``floor(x*1e6 + 0.5) / 1e6``. Spark's
+    round() is decimal HALF_UP while DuckDB's rounds dyadic ties to even
+    (observed on jacc = 0.0640625: 0.064063 vs 0.064062), so comparable
+    outputs must round in the integer domain where both engines agree.
+    Valid for non-negative inputs (all users here are ratios/scores)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
 
 def token_count_col(text_col: str) -> Column:
     """Tokens in single-space-separated text: spaces + 1 (0 for empty)."""
@@ -257,7 +266,7 @@ def quality_score_col(text_col: str) -> Column:
              + F.lit(w2) * (stop / toks)
              + F.lit(w3) * (F.lit(1.0) - digit / ln)
              + F.lit(w4) * (space / ln))
-    return F.when(ln > 0, F.round(score, 6)).otherwise(F.lit(0.0))
+    return F.when(ln > 0, round6(score)).otherwise(F.lit(0.0))
 
 
 def fingerprint_col(text_col: str) -> Column:

@@ -433,7 +433,8 @@ inter AS (
   GROUP BY p.a, p.b
 )
 SELECT p.a AS a, p.b AS b,
-       round(CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jacc
+       floor(CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(i.i, 0))
+             * 1000000.0 + 0.5) / 1000000.0 AS jacc
 FROM pairs p
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes sa ON sa.id = p.a
@@ -490,11 +491,12 @@ def text_profile_sql(table: str = "documents", id_col: str = "doc_id",
     digit = f"CAST(length(regexp_replace({t}, '[^0-9]', '', 'g')) AS DOUBLE)"
     space = f"CAST(length({t}) - length(replace({t}, ' ', '')) AS DOUBLE)"
     ln = f"CAST(length({t}) AS DOUBLE)"
-    quality = (f"CASE WHEN length({t}) > 0 THEN round("
+    quality = (f"CASE WHEN length({t}) > 0 THEN floor(("
                f"{_lit(w1)} * ({alpha} / {ln})"
                f" + {_lit(w2)} * (CAST({stop} AS DOUBLE) / CAST({toks} AS DOUBLE))"
                f" + {_lit(w3)} * (1.0 - {digit} / {ln})"
-               f" + {_lit(w4)} * ({space} / {ln}), 6) ELSE 0.0 END")
+               f" + {_lit(w4)} * ({space} / {ln}))"
+               f" * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END")
     # mirrors of textops.bpe_token_count_col / rolling_fingerprint_col
     bpe = (f"CAST(len(regexp_extract_all({t}, "
            f"'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)")
@@ -794,11 +796,12 @@ def pipeline_prepared_sql(quality_min: float, sample_rate: float) -> str:
     digit = f"CAST(length(regexp_replace({t}, '[^0-9]', '', 'g')) AS DOUBLE)"
     space = f"CAST(length({t}) - length(replace({t}, ' ', '')) AS DOUBLE)"
     ln = f"CAST(length({t}) AS DOUBLE)"
-    quality = (f"CASE WHEN length({t}) > 0 THEN round("
+    quality = (f"CASE WHEN length({t}) > 0 THEN floor(("
                f"{_lit(w1)} * ({alpha} / {ln})"
                f" + {_lit(w2)} * (CAST({stop} AS DOUBLE) / CAST({toks} AS DOUBLE))"
                f" + {_lit(w3)} * (1.0 - {digit} / {ln})"
-               f" + {_lit(w4)} * ({space} / {ln}), 6) ELSE 0.0 END")
+               f" + {_lit(w4)} * ({space} / {ln}))"
+               f" * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END")
     threshold = int(sample_rate * (1 << 60))
     return f"""
 WITH RECURSIVE
