@@ -144,9 +144,11 @@ def windowed_bucket_counts(
     window_duration: str,
     watermark_delay: str,
     alpha: float = 0.01,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming DataFrame of finalized-window sketch cells:
-    ``window_start, window_end, __part, __bidx, cnt``.
+    ``keys..., window_start, window_end, __part, __bidx, cnt`` — pass
+    ``keys=["lang"]`` for the north-rule per-language hourly rollup.
 
     Attach ``.writeStream.outputMode("append")`` — append emits a window's
     rows exactly once, after the watermark passes its end. Late rows
@@ -155,6 +157,7 @@ def windowed_bucket_counts(
     the standard watermark contract, with sketch-cell additivity making
     the whole operator a built-in windowed sum (zero Python, state size
     O(open windows x occupied buckets))."""
+    keys = list(keys)
     part, bidx = dd_bucket_exprs(value_col, alpha)
     v = F.col(value_col)
     w = (F.when(v.isNull() | F.isnan(v.cast("double")), F.lit(0))
@@ -162,10 +165,12 @@ def windowed_bucket_counts(
     return (
         stream_df
         .withWatermark(ts_col, watermark_delay)
-        .select(F.col(ts_col), part, bidx, w.alias("__w"))
-        .groupBy(F.window(ts_col, window_duration), "__part", "__bidx")
+        .select(F.col(ts_col), *keys, part, bidx, w.alias("__w"))
+        .groupBy(F.window(ts_col, window_duration), *keys,
+                 "__part", "__bidx")
         .agg(F.sum("__w").alias("cnt"))
-        .select(F.col("window.start").alias("window_start"),
+        .select(*keys,
+                F.col("window.start").alias("window_start"),
                 F.col("window.end").alias("window_end"),
                 "__part", "__bidx", "cnt")
     )
@@ -175,17 +180,20 @@ def assemble_window_sketches(
     bucket_rows: DataFrame,
     alpha: float = 0.01,
     nbuckets: int = 2048,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """Batch post-processing of :func:`windowed_bucket_counts` output (read
-    back from the sink): ``window_start, window_end, sketch binary, n`` —
-    one binary DDSketch per finalized window, built from O(buckets) cell
-    rows per window (same assembly contract as the native batch path)."""
-    out_schema = StructType([
-        StructField("window_start", TimestampType(), False),
-        StructField("window_end", TimestampType(), False),
-        StructField("sketch", BinaryType(), False),
-        StructField("n", LongType(), False),
-    ])
+    back from the sink): ``keys..., window_start, window_end, sketch
+    binary, n`` — one binary DDSketch per (keys, finalized window), built
+    from O(buckets) cell rows per group (same assembly contract as the
+    native batch path)."""
+    keys = list(keys)
+    out_schema = StructType(
+        [f for f in bucket_rows.schema.fields if f.name in keys]
+        + [StructField("window_start", TimestampType(), False),
+           StructField("window_end", TimestampType(), False),
+           StructField("sketch", BinaryType(), False),
+           StructField("n", LongType(), False)])
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         s = DDSketch(alpha, nbuckets)
@@ -200,14 +208,16 @@ def assemble_window_sketches(
         s.neg = dict(zip(neg["__bidx"].astype(int), neg["cnt"].astype(int)))
         s.pos = dict(zip(pos["__bidx"].astype(int), pos["cnt"].astype(int)))
         s._enforce_maxbuckets()
-        return pd.DataFrame({
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update({
             "window_start": [pdf["window_start"].iloc[0]],
             "window_end": [pdf["window_end"].iloc[0]],
             "sketch": [s.to_bytes()],
             "n": [s.count],
         })
+        return pd.DataFrame(row)
 
-    return (bucket_rows.groupBy("window_start", "window_end")
+    return (bucket_rows.groupBy(*keys, "window_start", "window_end")
             .applyInPandas(assemble, schema=out_schema))
 
 

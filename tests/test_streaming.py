@@ -367,3 +367,47 @@ def test_windowed_agg_restart_exactly_once(spark, tmp_path):
     key12 = base + pd.Timedelta(hours=2)
     assert DDSketch.from_bytes(bytes(got[key12]["sketch"])) == \
         DDSketch(0.01, 2048).update(np.array([3.0]))
+
+
+def test_windowed_agg_with_keys(spark, tmp_path):
+    """Per-(lang, window) sketch maintenance — the north-rule rollup shape
+    as a built-in keyed windowed streaming aggregation."""
+    import time as _time
+
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_window_sketches, windowed_bucket_counts,
+    )
+
+    src = str(tmp_path / "ksrc")
+    ckpt = str(tmp_path / "kckpt")
+    out_dir = str(tmp_path / "kout")
+    base = pd.Timestamp("2025-06-01 10:00:00")
+
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=m) for m in (5, 10, 15, 20)],
+        "lang": ["en", "de", "en", "de"],
+        "v": [1.0, 2.0, 3.0, 4.0]})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(pd.DataFrame(
+        {"ts": [base + pd.Timedelta(hours=3)], "lang": ["en"], "v": [9.0]})
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("ts timestamp, lang string, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cells = windowed_bucket_counts(stream, "ts", "v", "1 hour", "30 minutes",
+                                   alpha=0.01, keys=["lang"])
+    q = (cells.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination()
+
+    got = {(r["lang"], r["window_start"]): r
+           for r in assemble_window_sketches(
+               spark.read.parquet(out_dir), keys=["lang"]).collect()}
+    assert set(got) == {("en", base), ("de", base)}
+    assert DDSketch.from_bytes(bytes(got[("en", base)]["sketch"])) == \
+        DDSketch(0.01, 2048).update(np.array([1.0, 3.0]))
+    assert DDSketch.from_bytes(bytes(got[("de", base)]["sketch"])) == \
+        DDSketch(0.01, 2048).update(np.array([2.0, 4.0]))
