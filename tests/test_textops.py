@@ -217,3 +217,13 @@ def test_connected_components_long_chain_logn_rounds(spark):
            for r in connected_components(edges, max_iter=12).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_simhash_pairs_rejects_uncoverable_hamming(spark):
+    """Four 8-bit bands are pigeonhole-complete only to hamming 3; larger
+    thresholds must fail loudly instead of silently losing pairs."""
+    from ddsketch_spark.operators.textops import simhash_dup_pairs
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_dup_pairs(df, max_hamming=4)
