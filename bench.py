@@ -108,9 +108,10 @@ def main() -> None:
         # tools/scaling_bench.py with the interleaved fresh-JVM protocol
         # (full tables + methodology: BENCH/BASELINE.md)
         "scaling_64m_docs": {
-            "n4_to_16": {"docs_per_sec_n": 1745610,
-                         "docs_per_sec_4n": 5745963,
-                         "efficiency": 0.823},
+            "n4_to_16": {"docs_per_sec_n": 1879318,
+                         "docs_per_sec_4n": 6338507,
+                         "efficiency": 0.843,
+                         "note": "r2 re-measurement; r1 measured 0.823"},
             "n8_to_32": {"docs_per_sec_n": 3387897,
                          "docs_per_sec_4n": 8843983,
                          "efficiency": 0.653,
