@@ -107,6 +107,17 @@ def map_index(values: np.ndarray, multiplier: float) -> np.ndarray:
     return np.ceil(np.log(values) / _LOG2 * multiplier).astype(np.int64)
 
 
+def _pow2(e: float) -> float:
+    """``pow(2, e)`` with C semantics: Python's math.pow RAISES on
+    overflow where C's pow returns HUGE_VAL — the reference therefore
+    yields +inf for the topmost bucket of values near DBL_MAX
+    (ddsketch.c:3180-3184); match that instead of crashing."""
+    try:
+        return math.pow(2.0, e)
+    except OverflowError:
+        return math.inf
+
+
 def map_value(indexes: np.ndarray, gamma: float, multiplier: float) -> np.ndarray:
     """Representative value ``gamma^index * 2/(1+gamma)`` — ddsketch.c:3180-3184.
 
@@ -116,13 +127,17 @@ def map_value(indexes: np.ndarray, gamma: float, multiplier: float) -> np.ndarra
     indexes, so the scalar loop is free."""
     idx = np.atleast_1d(np.asarray(indexes, dtype=np.float64))
     rep = 2.0 / (1.0 + gamma)
-    return np.array([math.pow(2.0, i / multiplier) * rep for i in idx.tolist()])
+    return np.array([_pow2(i / multiplier) * rep for i in idx.tolist()])
 
 
 def map_lower_bound(alpha: float, index) -> float:
-    """``gamma^(index-1)`` via the reference's exp/log formulation — ddsketch.c:3147-3155."""
+    """``gamma^(index-1)`` via the reference's exp/log formulation —
+    ddsketch.c:3147-3155. +inf past DBL_MAX, like C's exp."""
     multiplier = _LOG2 / math.log1p(2.0 * alpha / (1.0 - alpha))
-    return math.exp(_LOG2 * (float(index) - 1.0) / multiplier)
+    try:
+        return math.exp(_LOG2 * (float(index) - 1.0) / multiplier)
+    except OverflowError:
+        return math.inf
 
 
 def map_upper_bound(alpha: float, index) -> float:

@@ -393,3 +393,20 @@ def test_collapsed_sketch_copy_and_union_roundtrip():
     assert u.to_bytes() == s.to_bytes()
     both = union(s, s.copy())
     assert both.count == 2 * s.count
+
+
+def test_extreme_magnitudes_match_c_semantics():
+    """Values near DBL_MAX land in buckets whose representative exceeds
+    the double range: C's pow returns HUGE_VAL there, so the reference
+    yields +/-inf — Python's math.pow raises instead; _pow2 restores the
+    C behavior. Denormals go to the zero bucket (|v| <= min_indexable)."""
+    big = np.finfo(np.float64).max
+    s = DDSketch(0.05, 1024).update(np.array([big, -big, 5e-324, 1.0]))
+    assert s.zero_count == 1  # the denormal
+    qs = s.quantile([0.0, 0.5, 1.0])
+    assert math.isinf(qs[0]) and qs[0] < 0
+    assert math.isinf(qs[2]) and qs[2] > 0
+    assert all(qs[i] <= qs[i + 1] for i in range(2))
+    # serde survives the extreme indexes (int32 range is ample)
+    assert DDSketch.from_bytes(s.to_bytes()) == s
+    assert DDSketch.from_string(s.to_string()) == s
