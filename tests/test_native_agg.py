@@ -217,3 +217,24 @@ def test_native_nan_skipped_like_null(spark):
     wantw = DDSketch(0.05, 1024).update(
         np.array([1.0, 2.0, 3.0, 4.0]), np.array([1, 1, 2, 3]))
     assert DDSketch.from_bytes(bytes(outw["sketch"])) == wantw
+
+
+def test_native_parity_extreme_magnitudes(spark):
+    """JVM bucketing == numpy kernel bit-for-bit on denormals, values at
+    the double-range edge, and mixed wide magnitudes (the boundary cases
+    the shipped-data parity sweep doesn't reach)."""
+    import numpy as np
+    import pandas as pd
+
+    from ddsketch_spark.core.ddsketch import DDSketch
+    from ddsketch_spark.operators.native import ddsketch_agg_native
+
+    rng = np.random.default_rng(99)
+    v = np.concatenate([
+        rng.standard_normal(500) * 10.0**rng.integers(-250, 250, 500).astype(float),
+        np.array([1.6e308, -1.6e308, 1e-310, 2.3e-308, 0.0, 1.0]),
+    ])
+    want = DDSketch(0.01, 32768).update(v)
+    df = spark.createDataFrame(pd.DataFrame({"v": v}))
+    got = ddsketch_agg_native(df, "v", 0.01, 32768).collect()[0]
+    assert DDSketch.from_bytes(bytes(got["sketch"])) == want
