@@ -22,9 +22,10 @@ from ddsketch_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: p50/p90/p99 of l_extendedprice by l_returnflag via the
-    2-stage DDSketch pipeline (alpha=0.01, 2048 buckets)."""
-    return QUERIES["dd_quantiles_price_by_flag"](spark, "/root/testdata/sf0.001")
+    """Flagship (north-rule shape): p50/p90/p99 of length(text) by lang
+    over the web-document table via the JVM-native DDSketch aggregation
+    (alpha=0.01, 2048 buckets)."""
+    return QUERIES["dd_textlen_by_lang"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -134,6 +134,16 @@ def dd_reagg_p90_by_flag(spark, sf_dir):
     )
 
 
+def dd_textlen_by_lang(spark, sf_dir):
+    """The north-rule flagship shape verbatim: DDSketch of length(text)
+    grouped by lang over the web-document table — p50/p90/p99 per
+    language, built on the JVM-native bucket aggregation."""
+    df = _t(spark, sf_dir, "documents").select(
+        "lang", F.length("text").cast("double").alias("tl"))
+    return quantile_rows(df, "tl", 0.01, 2048, [0.5, 0.9, 0.99],
+                         keys=["lang"])
+
+
 def dd_quantiles_events_by_type(spark, sf_dir):
     df = _t(spark, sf_dir, "events")
     return quantile_rows(df, "value", 0.01, 2048, [0.5, 0.9],
@@ -533,6 +543,7 @@ QUERIES: dict[str, Callable] = {
     "dd_trimmed_avg_price": dd_trimmed_avg_price,
     "dd_trimmed_sum_price": dd_trimmed_sum_price,
     "dd_reagg_p90_by_flag": dd_reagg_p90_by_flag,
+    "dd_textlen_by_lang": dd_textlen_by_lang,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
     "dd_p90_events_hourly": dd_p90_events_hourly,
     "dd_quantiles_price_centered": dd_quantiles_price_centered,
@@ -584,6 +595,9 @@ ORACLES: dict[str, str] = {
         "lineitem", "l_extendedprice", 0.05, 0.05, 0.95, "sum") + ")",
     "dd_reagg_p90_by_flag": oracles.percentile_sql(
         "lineitem", "l_extendedprice", 0.01, [0.9], keys=["l_returnflag"]),
+    "dd_textlen_by_lang": oracles.percentile_sql(
+        "documents", "CAST(length(text) AS DOUBLE)", 0.01,
+        [0.5, 0.9, 0.99], keys=["lang"]),
     "dd_quantiles_events_by_type": oracles.percentile_sql(
         "events", "value", 0.01, [0.5, 0.9], keys=["event_type"]),
     "dd_p90_events_hourly": oracles.percentile_sql(
