@@ -77,7 +77,7 @@ def main() -> None:
     # non-headline components measured separately (kept out of `queries`
     # so the per-round total/per-query diff stays apples-to-apples with r1)
     extra: dict[str, float] = {}
-    for name in ["multimodal_feature_stats"]:
+    for name in ["multimodal_feature_stats", "dd_textlen_by_lang"]:
         if name in QUERIES:
             best = float("inf")
             for _ in range(3):
