@@ -838,3 +838,55 @@ FROM scored
 WHERE ({lang_case}) = 'en' AND quality >= {_lit(quality_min)}
   AND fp < {threshold}
 """
+
+
+def multimodal_resize_frames_sql(n_rows: int, seed: int,
+                                 out_w: int, out_h: int,
+                                 every: int) -> str:
+    """Rows ``grp, n_rows, f0_micro`` for grp in ('image_resized',
+    'video_frames'): re-derives nearest-neighbor resize of the arithmetic
+    images and frame sampling of the arithmetic videos entirely in SQL,
+    then mirrors extract_features' first chunk mean per output row."""
+    mul = 2654435761
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {n_rows})) AS i),
+imgs AS (
+  SELECT i, {seed} * 1000003 + i AS s,
+         8 * (2 + i % 4) AS w, 3 + i % 5 AS h
+  FROM ids WHERE i % 3 = 0),
+-- nearest-neighbor resize to {out_w}x{out_h}: output pixel (r, c) reads
+-- source pixel (r*h//{out_h}, c*w//{out_w}); f0 = mean of the first
+-- {out_w}*{out_h}/8 output pixels in row-major order
+img_px AS (
+  SELECT i, s, w, h, unnest(range(0, {out_w} * {out_h} // 8)) AS p
+  FROM imgs),
+img_vals AS (
+  SELECT i,
+    (s + (((p // {out_w}) * h // {out_h}) * w
+          + ((p % {out_w}) * w // {out_w}) + 1) * {mul}) % 256 AS val
+  FROM img_px),
+img_f0 AS (
+  SELECT i, CAST(sum(val) AS DOUBLE) / ({out_w} * {out_h} // 8) AS f0
+  FROM img_vals GROUP BY i),
+vids AS (
+  SELECT i, {seed} * 1000003 + i AS s, 4 + i % 8 AS nf
+  FROM ids WHERE i % 3 = 2),
+-- frames 0, {every}, ... of the 8x8 videos; frame f's pixel j is source
+-- element f*64 + j; each frame becomes a FAKEIMG row whose f0 = mean of
+-- its first 8 pixels
+frames AS (
+  SELECT i, s, unnest(range(0, nf, {every})) AS f FROM vids),
+frame_px AS (
+  SELECT i, s, f, unnest(range(0, 8)) AS j FROM frames),
+frame_f0 AS (
+  SELECT i, f, CAST(sum((s + (f * 64 + j + 1) * {mul}) % 256) AS DOUBLE)
+               / 8 AS f0
+  FROM frame_px GROUP BY i, f, s)
+SELECT 'image_resized' AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(f0 * 1000000.0) AS BIGINT)) AS BIGINT) AS f0_micro
+FROM img_f0
+UNION ALL
+SELECT 'video_frames' AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(f0 * 1000000.0) AS BIGINT)) AS BIGINT) AS f0_micro
+FROM frame_f0
+"""

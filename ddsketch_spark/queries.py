@@ -523,6 +523,38 @@ def multimodal_feature_stats(spark, sf_dir):
     return pct.join(agg, on="kind")
 
 
+RESIZE_W, RESIZE_H, FRAME_EVERY = 16, 4, 2
+
+
+def multimodal_resize_frame_stats(spark, sf_dir):
+    """grp, n_rows, f0_micro — nearest-neighbor image resize and video
+    frame sampling through the real mapInPandas plumbing, reduced to
+    integer feature sums; the oracle re-derives the resize index math and
+    frame striding from the arithmetic payload definition, so both
+    transforms are value-checked end-to-end."""
+    from ddsketch_spark.operators.multimodal import (
+        extract_features, resize_images, sample_frames, synthesize_media_arith,
+    )
+    media = synthesize_media_arith(spark, N_MEDIA, seed=MEDIA_SEED)
+
+    def f0_stats(feat_df, grp):
+        return feat_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.element_at(F.col("feature"), 1) * F.lit(1000000.0))
+                  .cast("long")).alias("f0_micro")
+        ).select(F.lit(grp).alias("grp"), "n_rows", "f0_micro")
+
+    resized = resize_images(media, RESIZE_W, RESIZE_H)
+    rfeat = extract_features(resized.select(
+        "media_id", F.lit("image").alias("kind"), "payload"))
+    frames = sample_frames(media, every=FRAME_EVERY)
+    ffeat = extract_features(frames.select(
+        "media_id", F.lit("image").alias("kind"),
+        F.col("frame").alias("payload")))
+    return (f0_stats(rfeat, "image_resized")
+            .unionAll(f0_stats(ffeat, "video_frames")))
+
+
 def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.where(F.col("vec_id") < ANN_N_QUERIES), ANN_K)
@@ -572,6 +604,7 @@ QUERIES: dict[str, Callable] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
     "multimodal_feature_stats": multimodal_feature_stats,
+    "multimodal_resize_frame_stats": multimodal_resize_frame_stats,
     "pipeline_prepared_docs": pipeline_prepared_docs,
 }
 
@@ -649,6 +682,8 @@ ORACLES: dict[str, str] = {
     "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
     "multimodal_feature_stats": oracles.multimodal_stats_sql(
         N_MEDIA, MEDIA_SEED, 0.01, [0.5, 0.95]),
+    "multimodal_resize_frame_stats": oracles.multimodal_resize_frames_sql(
+        N_MEDIA, MEDIA_SEED, 16, 4, 2),
     "pipeline_prepared_docs": oracles.pipeline_prepared_sql(
         PIPE_QUALITY_MIN, PIPE_SAMPLE_RATE),
 }
