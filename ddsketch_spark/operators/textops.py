@@ -407,8 +407,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                .localCheckpoint(eager=True))
         # labels are per-node monotone non-increasing, so the label SUM
         # strictly decreases iff anything changed — one scalar agg per
-        # round instead of a join + count
-        new_sum = new.agg(F.sum("comp")).collect()[0][0]
+        # round instead of a join + count. DECIMAL(38,0): ids may span the
+        # full int64 range (e.g. xxhash64 keys), so a BIGINT sum overflows
+        # (ANSI ArithmeticException at ~400k hash-valued nodes); the
+        # decimal sum is exact up to 10^38.
+        new_sum = new.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         converged = prev_sum is not None and new_sum == prev_sum
         prev_sum = new_sum
         labels = new

@@ -227,3 +227,19 @@ def test_simhash_pairs_rejects_uncoverable_hamming(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_dup_pairs(df, max_hamming=4)
+
+
+def test_connected_components_full_range_ids(spark):
+    """Node ids spanning the int64 range (hash keys) must not overflow
+    the convergence check's label sum (regression: BIGINT sum raised
+    ARITHMETIC_OVERFLOW under ANSI mode at scale)."""
+    from ddsketch_spark.operators.textops import connected_components
+
+    big = (1 << 62)
+    edges = spark.createDataFrame(
+        [(big + i, big + i + 1) for i in range(0, 40, 2)]
+        + [(-big - i, -big - i - 1) for i in range(0, 40, 2)], ["a", "b"])
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    for i in range(0, 40, 2):
+        assert got[big + i] == big + i and got[big + i + 1] == big + i
+        assert got[-big - i - 1] == -big - i - 1
