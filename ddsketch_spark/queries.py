@@ -523,6 +523,21 @@ def multimodal_feature_stats(spark, sf_dir):
     return pct.join(agg, on="kind")
 
 
+TOPK_TOKENS = 10
+
+
+def tokens_top10(spark, sf_dir):
+    """token, cnt — corpus-level token frequency top-10 (whitespace
+    tokens, deterministic count-desc/token-asc order): the vocabulary /
+    heavy-hitter probe of a training-data pipeline. Token explode ->
+    native partial-agg count -> top-k."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(TOPK_TOKENS))
+
+
 RESIZE_W, RESIZE_H, FRAME_EVERY = 16, 4, 2
 
 
@@ -601,6 +616,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_cosine_pairs_lsh": dedup_cosine_pairs_lsh,
     "sample_docs_deterministic": sample_docs_deterministic,
     "text_profile_docs": text_profile_docs,
+    "tokens_top10": tokens_top10,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
     "multimodal_feature_stats": multimodal_feature_stats,
@@ -678,6 +694,10 @@ ORACLES: dict[str, str] = {
         "FROM documents WHERE " + oracles.duckdb_h64_pub("text")
         + f" < {int(0.25 * (1 << 60))}"),
     "text_profile_docs": oracles.text_profile_sql(),
+    "tokens_top10": (
+        "SELECT token, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+        "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10"),
     "ann_cosine_topk": oracles.ann_topk_sql(ANN_N_QUERIES, ANN_K),
     "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
     "multimodal_feature_stats": oracles.multimodal_stats_sql(
