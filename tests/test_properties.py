@@ -3,6 +3,8 @@ guarantees, checked over randomized inputs rather than fixed fixtures —
 serde round-trips, merge associativity/commutativity, the alpha
 relative-error bound, and weighted==expanded equivalence."""
 
+import math
+
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -77,3 +79,57 @@ def test_weighted_equals_expanded_random(data, alpha):
     s_w = DDSketch(alpha, 32768).update(v, c)
     s_e = DDSketch(alpha, 32768).update(np.repeat(v, c))
     assert s_w == s_e and s_w.to_bytes() == s_e.to_bytes()
+
+
+# ---------------------------------------------------------------------------
+# published-bound properties for the sibling sketches (north rule:
+# "matching the reference's sketch estimates within the algorithm's
+# published error bound")
+# ---------------------------------------------------------------------------
+
+from ddsketch_spark.core.bloom import Bloom
+from ddsketch_spark.core.cms import CMS
+from ddsketch_spark.core.hll import HLL
+from ddsketch_spark.core.hashing import py_h64
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 5000), st.integers(0, 10_000_000))
+def test_hll_error_within_published_bound(n_distinct, salt):
+    """|est - n| / n <= 5 * 1.04/sqrt(m) (5 sigma of the published
+    standard error; p=12 -> m=4096 -> bound ~8.1%)."""
+    h = np.array([py_h64(f"{salt}:{i}") for i in range(n_distinct)],
+                 dtype=np.int64)
+    s = HLL(12)
+    s.update(np.concatenate([h, h[: n_distinct // 2]]))  # dups don't count
+    rel = abs(s.estimate() - n_distinct) / n_distinct
+    assert rel <= 5 * 1.04 / math.sqrt(1 << 12), (n_distinct, s.estimate())
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 1_000_000), st.integers(10, 400))
+def test_cms_overestimates_only_within_bound(salt, n_keys):
+    """CMS error is one-sided: est >= true always; est <= true + eps*N
+    holds PER QUERY with failure probability delta = e^-depth (~0.7% for
+    depth 5), so assert the violation RATE, not a uniform bound."""
+    rng = np.random.default_rng(salt % (2**31))
+    keys = [f"{salt}:{i}" for i in range(n_keys)]
+    counts = rng.integers(1, 50, n_keys)
+    h = np.repeat(np.array([py_h64(k) for k in keys], dtype=np.int64), counts)
+    s = CMS(5, 2048)
+    s.update(h)
+    total = int(counts.sum())
+    est = s.estimate(np.array([py_h64(k) for k in keys], dtype=np.int64))
+    assert np.all(est >= counts)  # never underestimates
+    eps = math.e / 2048
+    viol = np.mean(est > counts + eps * total + 1)
+    assert viol <= 0.05, (viol, n_keys, total)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 1_000_000), st.integers(1, 500))
+def test_bloom_no_false_negatives(salt, n_keys):
+    keys = [py_h64(f"{salt}:{i}") for i in range(n_keys)]
+    s = Bloom(1 << 14, 5)
+    s.update(np.array(keys, dtype=np.int64))
+    assert all(s.contains(np.array(keys, dtype=np.int64)))
