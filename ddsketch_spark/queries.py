@@ -205,8 +205,12 @@ def dd_trimmed_avg_from_sketches(spark, sf_dir):
 def dd_p90_events_hourly(spark, sf_dir):
     """Time-bucketed sketch rollup: p90 of value by (hour-of-day, type) —
     the composition shape of a per-window pre-aggregated sketch table."""
+    # hour derived ARITHMETICALLY from the epoch instant so the result is
+    # independent of the (driver-controlled) session timezone: DuckDB's
+    # EXTRACT(hour ...) reads the stored instant as a naive UTC timestamp,
+    # and (epoch div 3600) mod 24 is the same UTC hour under any tz
     df = _t(spark, sf_dir, "events").withColumn(
-        "hr", F.hour("ts").cast("long"))
+        "hr", F.expr("pmod(unix_timestamp(ts) div 3600, 24)").cast("long"))
     return quantile_rows(df, "value", 0.05, 1024, [0.9],
                          keys=["hr", "event_type"])
 
