@@ -133,8 +133,11 @@ def ddsketch_agg_native(
         row["n"] = [int(pdf["__rows"].sum())]
         return pd.DataFrame(row)
 
-    group_cols = keys if keys else [F.lit(0).alias("__g")]
-    return buckets.groupBy(*group_cols).applyInPandas(assemble, schema=out_schema)
+    from ddsketch_spark.operators.aggregate import grouped_apply_sorted
+    if keys:
+        return grouped_apply_sorted(buckets, keys, assemble, out_schema)
+    return buckets.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        assemble, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -161,8 +164,13 @@ def _assemble_schema(df: DataFrame, keys: Sequence[str]) -> StructType:
 
 
 def _grouped(buckets: DataFrame, keys: Sequence[str], assemble, schema):
-    group_cols = list(keys) if keys else [F.lit(0).alias("__g")]
-    return buckets.groupBy(*group_cols).applyInPandas(assemble, schema=schema)
+    from ddsketch_spark.operators.aggregate import grouped_apply_sorted
+    if keys:
+        # sorted-run mapInPandas: O(Arrow batch) python overhead instead of
+        # one Arrow batch PER KEY (12x at 100k keys — see grouped_apply_sorted)
+        return grouped_apply_sorted(buckets, list(keys), assemble, schema)
+    return buckets.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        assemble, schema=schema)
 
 
 def hll_agg_native(df: DataFrame, hash_col: str, p: int = 12,

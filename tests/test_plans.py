@@ -56,11 +56,13 @@ def test_native_agg_is_codegen_hash_aggregate(spark, pages_path):
     # HashAggregate nodes themselves are codegen'd operators)
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_sum" in plan  # map-side partial aggregation
-    # the ONLY Python stage is the final applyInPandas sketch assembly
-    # (formatted explain prints each node twice: tree + detail section)
+    # the ONLY Python stage is the final sorted-run sketch assembly
+    # (grouped_apply_sorted: MapInPandas over key-sorted bucket rows —
+    # one Arrow batch per 64k rows, NOT one per key like
+    # FlatMapGroupsInPandas; formatted explain prints each node twice)
     tree = plan.split("(1) Scan")[0]
-    assert tree.count("FlatMapGroupsInPandas") == 1, tree
-    assert "MapInPandas" not in plan
+    assert tree.count("MapInPandas") == 1, tree
+    assert "FlatMapGroupsInPandas" not in plan
     # the bucket computation itself is a JVM expression, before any Python
     assert "LOG(" in plan.upper() or "ln(" in plan
 
