@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterable, Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -314,7 +315,7 @@ def merge_sketches(
 
 
 def grouped_apply_sorted(df: DataFrame, keys: Sequence[str], fn,
-                         schema: StructType) -> DataFrame:
+                         schema: StructType, per_run: bool = True) -> DataFrame:
     """``groupBy(keys).applyInPandas(fn, schema)`` with O(Arrow batch)
     overhead instead of O(groups).
 
@@ -325,7 +326,13 @@ def grouped_apply_sorted(df: DataFrame, keys: Sequence[str], fn,
     Arrow batches, and ``fn`` is applied per contiguous key run, carrying
     a run that spans a batch boundary. Output is identical: same shuffle
     (groupBy's exec is also sort-based), same per-group fn, exact integer
-    results."""
+    results.
+
+    ``per_run=False`` hands ``fn`` the whole complete-runs SLICE of each
+    batch instead of one call per key run — for fns that vectorize across
+    runs (see native._assemble_dd_batch; ~8x again over per-run calls at
+    1M keys).
+    """
     keys = list(keys)
     if not keys:
         return df.groupBy().applyInPandas(fn, schema)
@@ -340,18 +347,35 @@ def grouped_apply_sorted(df: DataFrame, keys: Sequence[str], fn,
             if pending is not None:
                 pdf = pd.concat([pending, pdf], ignore_index=True)
                 pending = None
-            gb = pdf.groupby(keys, sort=False, dropna=False)
-            names = list(gb.groups)
-            if len(names) == 1:
-                pending = pdf  # run may continue in the next batch
+            # boundary of the LAST (possibly incomplete) key run —
+            # NULL-safe equality (NaN keys form groups too, like Spark's
+            # groupBy); rows are key-sorted, so rows equal to the last key
+            # are exactly the contiguous block at the end
+            last = pdf[keys].iloc[-1]
+            eq = np.ones(len(pdf), dtype=bool)
+            for k in keys:
+                lv = last[k]
+                col = pdf[k]
+                eq &= (col.isna() if pd.isna(lv) else (col == lv)).to_numpy()
+            n_tail = int(eq[::-1].cumprod().sum())
+            if n_tail == len(pdf):
+                pending = pdf  # single run — may continue in next batch
                 continue
-            out = [fn(gb.get_group(n)) for n in names[:-1]]
-            pending = gb.get_group(names[-1]).reset_index(drop=True)
-            res = pd.concat(out, ignore_index=True)
+            head = pdf.iloc[:-n_tail]
+            pending = pdf.iloc[-n_tail:].reset_index(drop=True)
+            if per_run:
+                gb = head.groupby(keys, sort=False, dropna=False)
+                out = [fn(gb.get_group(n)) for n in gb.groups]
+                res = pd.concat(out, ignore_index=True)
+            else:
+                res = fn(head)
             if len(res):
                 yield res
         if pending is not None and len(pending):
-            res = fn(pending)
+            if per_run:
+                res = fn(pending)
+            else:
+                res = fn(pending)
             if len(res):
                 yield res
 

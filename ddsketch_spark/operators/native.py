@@ -36,8 +36,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
+import struct
+
 from ddsketch_spark.core.ddsketch import (
-    DDSketch, mapping_params, validate_alpha, validate_nbuckets,
+    _BUCKET_DT, DDSketch, mapping_params, validate_alpha, validate_nbuckets,
 )
 
 _LOG2 = math.log(2.0)
@@ -135,9 +137,95 @@ def ddsketch_agg_native(
 
     from ddsketch_spark.operators.aggregate import grouped_apply_sorted
     if keys:
-        return grouped_apply_sorted(buckets, keys, assemble, out_schema)
+        batch_fn = _make_dd_batch_assembler(keys, alpha, nbuckets,
+                                            on_overflow, out_schema,
+                                            assemble)
+        return grouped_apply_sorted(buckets, keys, batch_fn, out_schema,
+                                    per_run=False)
     return buckets.groupBy(F.lit(0).alias("__g")).applyInPandas(
         assemble, schema=out_schema)
+
+
+def _make_dd_batch_assembler(keys, alpha, nbuckets, on_overflow,
+                             out_schema, slow_assemble):
+    """Vectorized sketch assembly across ALL key runs of a sorted batch:
+    one numpy pass builds every run's wire bytes (same layout as
+    DDSketch.to_bytes — big-endian header + neg-DESC/pos-ASC bucket
+    pairs), with only a ~2 microsecond header pack per run. Runs whose
+    bucket count exceeds maxbuckets fall back to the kernel path (error or
+    UDDSketch collapse). Bit-identical to the per-run assemble (pinned by
+    the native==kernel identity tests)."""
+    import numpy as np
+
+    def assemble_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        kdf = pdf[keys]
+        prev = kdf.shift()
+        same = ((kdf == prev) | (kdf.isna() & prev.isna())).all(axis=1).to_numpy()
+        same[0] = False
+        run_id = np.cumsum(~same) - 1
+        nruns = int(run_id[-1]) + 1
+        run_starts = np.flatnonzero(~same)
+
+        part = pdf["__part"].to_numpy(np.int64)
+        bidx = pdf["__bidx"].to_numpy(np.int64)
+        c = pdf["__c"].to_numpy(np.int64)
+        rows = pdf["__rows"].to_numpy(np.int64)
+
+        def seg_sum(vals, mask):
+            out = np.zeros(nruns, dtype=np.int64)
+            np.add.at(out, run_id[mask], vals[mask])
+            return out
+
+        live = part >= 0
+        count = seg_sum(c, live)
+        zero = seg_sum(c, live & (part == 1))
+        nrows = seg_sum(rows, np.ones(n, dtype=bool))
+        ones = np.ones(n, dtype=np.int64)
+        nneg = seg_sum(ones, part == 0)
+        npos = seg_sum(ones, part == 2)
+        nbk = nneg + npos
+
+        # wire order within a run: negative part index-DESC, then positive
+        # index-ASC (core.ddsketch.to_bytes / ddsketch.c:53-59)
+        sel = (part == 0) | (part == 2)
+        ordkey = np.where(part == 0, -bidx, bidx)
+        sidx = np.flatnonzero(sel)
+        order = sidx[np.lexsort((ordkey[sidx], part[sidx], run_id[sidx]))]
+        barr = np.empty(order.size, dtype=_BUCKET_DT)
+        barr["index"] = bidx[order]
+        barr["count"] = c[order]
+        bbytes = barr.tobytes()
+        ends = np.cumsum(nbk)
+        starts = ends - nbk
+
+        out = {k: [] for k in keys}
+        out["sketch"], out["n"] = [], []
+        key_rows = kdf.iloc[run_starts]
+        hfmt = ">iqqdiii"  # _HEADER format (Struct objects don't pickle)
+        pack = struct.Struct(hfmt).pack
+        for r in range(nruns):
+            if count[r] == 0:
+                continue  # all-NULL group: no output row
+            if nbk[r] > nbuckets:
+                # rare overflow: kernel path handles error/collapse exactly
+                res = slow_assemble(pdf.iloc[run_starts[r]:
+                                             run_starts[r + 1] if r + 1 < nruns else n])
+                for k in keys:
+                    out[k].append(res[k].iloc[0])
+                out["sketch"].append(res["sketch"].iloc[0])
+                out["n"].append(int(res["n"].iloc[0]))
+                continue
+            hdr = pack(0, int(count[r]), int(zero[r]), alpha, nbuckets,
+                       int(nbk[r]), int(nneg[r]))
+            out["sketch"].append(hdr + bbytes[starts[r] * 12: ends[r] * 12])
+            out["n"].append(int(nrows[r]))
+            for k in keys:
+                out[k].append(key_rows[k].iloc[r])
+        return pd.DataFrame(out) if out["sketch"] else pd.DataFrame(
+            {f.name: [] for f in out_schema.fields})
+
+    return assemble_batch
 
 
 # ---------------------------------------------------------------------------
