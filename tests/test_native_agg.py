@@ -238,3 +238,35 @@ def test_native_parity_extreme_magnitudes(spark):
     df = spark.createDataFrame(pd.DataFrame({"v": v}))
     got = ddsketch_agg_native(df, "v", 0.01, 32768).collect()[0]
     assert DDSketch.from_bytes(bytes(got["sketch"])) == want
+
+
+def test_vectorized_assembly_many_keys_with_batch_carries(spark):
+    """The batched run assembler must survive key runs spanning Arrow
+    batch boundaries: tiny maxRecordsPerBatch + thousands of keys forces
+    many carries, and every sketch must equal the kernel build."""
+    import numpy as np
+    import pandas as pd
+
+    from ddsketch_spark.core.ddsketch import DDSketch
+    from ddsketch_spark.operators.native import ddsketch_agg_native
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        rng = np.random.default_rng(17)
+        n = 40_000
+        pdf = pd.DataFrame({
+            "k": rng.integers(0, 3000, n),
+            "v": np.exp(rng.standard_normal(n)) * 100,
+        })
+        df = spark.createDataFrame(pdf).repartition(8)
+        got = {r["k"]: (bytes(r["sketch"]), r["n"])
+               for r in ddsketch_agg_native(df, "v", 0.01, 2048,
+                                            keys=["k"]).collect()}
+        assert len(got) == pdf["k"].nunique()
+        for k, grp in pdf.groupby("k"):
+            want = DDSketch(0.01, 2048).update(grp["v"].to_numpy())
+            assert DDSketch.from_bytes(got[k][0]) == want, k
+            assert got[k][1] == len(grp)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
