@@ -294,6 +294,39 @@ def hll_agg_native(df: DataFrame, hash_col: str, p: int = 12,
         row["n"] = [s.count]
         return pd.DataFrame(row)
 
+    if keys:
+        # vectorized across key runs: one (runs x m) register scatter per
+        # Arrow batch + a 13-byte header pack per run (same wire bytes as
+        # HLL.to_bytes; see the DDSketch batch assembler for the pattern)
+        from ddsketch_spark.operators.aggregate import grouped_apply_sorted
+
+        def assemble_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            nrows_total = len(pdf)
+            kdf = pdf[keys]
+            prev = kdf.shift()
+            same = ((kdf == prev) | (kdf.isna() & prev.isna()))                 .all(axis=1).to_numpy()
+            same[0] = False
+            run_id = np.cumsum(~same) - 1
+            nruns = int(run_id[-1]) + 1
+            run_starts = np.flatnonzero(~same)
+            regs = np.zeros((nruns, m), dtype=np.uint8)
+            regs[run_id, pdf["__j"].to_numpy(np.int64)] =                 pdf["__r"].to_numpy(np.int64)
+            cnt = np.zeros(nruns, dtype=np.int64)
+            np.add.at(cnt, run_id, pdf["__rows"].to_numpy(np.int64))
+            hpack = struct.Struct(">4sBq").pack
+            out = {k: [] for k in keys}
+            out["sketch"], out["n"] = [], []
+            key_rows = kdf.iloc[run_starts]
+            for r in range(nruns):
+                out["sketch"].append(
+                    hpack(b"HLL1", p, int(cnt[r])) + regs[r].tobytes())
+                out["n"].append(int(cnt[r]))
+                for k in keys:
+                    out[k].append(key_rows[k].iloc[r])
+            return pd.DataFrame(out)
+
+        return grouped_apply_sorted(buckets, keys, assemble_batch,
+                                    out_schema, per_run=False)
     return _grouped(buckets, keys, assemble, out_schema)
 
 
