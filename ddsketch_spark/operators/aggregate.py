@@ -332,6 +332,16 @@ def grouped_apply_sorted(df: DataFrame, keys: Sequence[str], fn,
     batch instead of one call per key run — for fns that vectorize across
     runs (see native._assemble_dd_batch; ~8x again over per-run calls at
     1M keys).
+
+    Runs on ``mapInArrow`` (not ``mapInPandas``): Spark's Arrow->pandas
+    conversion turns a nullable int64 KEY column whose batch contains a
+    NULL into float64, which (a) silently merges distinct keys >= 2^53
+    (e.g. 60-bit h64 ids) into one run and (b) corrupts the key value the
+    fn emits. Here each integral key column whose Arrow batch actually
+    holds a null is converted with ``integer_object_nulls=True`` (exact
+    Python ints + None); null-free batches keep the fast numpy int64
+    path. Same float64-coercion class as the stage-1 value-column fix in
+    :func:`sketch_partials`, applied to keys.
     """
     keys = list(keys)
     if not keys:
@@ -339,11 +349,32 @@ def grouped_apply_sorted(df: DataFrame, keys: Sequence[str], fn,
     rep = df.repartition(*[F.col(k) for k in keys]) \
             .sortWithinPartitions(*keys)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    int_keys = [k for k in keys
+                if df.schema[k].dataType.typeName()
+                in ("long", "integer", "short", "byte")]
+
+    def run(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        arrow_out = to_arrow_schema(schema)
+
+        def to_pdf(ab: "pa.RecordBatch") -> pd.DataFrame:
+            pdf = ab.to_pandas()
+            for k in int_keys:
+                col = ab.column(ab.schema.get_field_index(k))
+                if col.null_count:
+                    pdf[k] = col.to_pandas(integer_object_nulls=True)
+            return pdf
+
+        def emit(res: pd.DataFrame) -> "pa.RecordBatch":
+            return pa.RecordBatch.from_pandas(res, schema=arrow_out,
+                                              preserve_index=False)
+
         pending = None
-        for pdf in batches:
-            if pdf.empty:
+        for ab in batches:
+            if ab.num_rows == 0:
                 continue
+            pdf = to_pdf(ab)
             if pending is not None:
                 pdf = pd.concat([pending, pdf], ignore_index=True)
                 pending = None
@@ -356,7 +387,8 @@ def grouped_apply_sorted(df: DataFrame, keys: Sequence[str], fn,
             for k in keys:
                 lv = last[k]
                 col = pdf[k]
-                eq &= (col.isna() if pd.isna(lv) else (col == lv)).to_numpy()
+                eq &= (col.isna() if pd.isna(lv) else (col == lv)).to_numpy(
+                    dtype=bool, na_value=False)
             n_tail = int(eq[::-1].cumprod().sum())
             if n_tail == len(pdf):
                 pending = pdf  # single run — may continue in next batch
@@ -364,19 +396,27 @@ def grouped_apply_sorted(df: DataFrame, keys: Sequence[str], fn,
             head = pdf.iloc[:-n_tail]
             pending = pdf.iloc[-n_tail:].reset_index(drop=True)
             if per_run:
-                gb = head.groupby(keys, sort=False, dropna=False)
-                out = [fn(gb.get_group(n)) for n in gb.groups]
+                # rows are key-sorted: slice contiguous runs directly
+                # (pandas groupby would also re-group, but its .groups
+                # breaks on None keys in object columns — and slicing
+                # skips the factorize pass entirely)
+                kdf = head[keys]
+                prev = kdf.shift()
+                same = ((kdf == prev) | (kdf.isna() & prev.isna())) \
+                    .all(axis=1).to_numpy()
+                same[0] = False
+                starts = np.flatnonzero(~same)
+                bounds = np.append(starts, len(head))
+                out = [fn(head.iloc[bounds[i]:bounds[i + 1]])
+                       for i in range(len(starts))]
                 res = pd.concat(out, ignore_index=True)
             else:
                 res = fn(head)
             if len(res):
-                yield res
+                yield emit(res)
         if pending is not None and len(pending):
-            if per_run:
-                res = fn(pending)
-            else:
-                res = fn(pending)
+            res = fn(pending)
             if len(res):
-                yield res
+                yield emit(res)
 
-    return rep.mapInPandas(run, schema)
+    return rep.mapInArrow(run, schema)

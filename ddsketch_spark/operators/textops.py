@@ -385,6 +385,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (sym.select(F.col("a").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = (sym.join(labels.select(F.col("id").alias("b"),
                                       F.col("comp").alias("nc")), on="b")
@@ -418,4 +419,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new
         if converged:
             break
+    if not converged:
+        # returning partial labels would silently keep wrong near-dup
+        # survivors downstream (dedup_clusters, pipeline_prepared_docs)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; raise max_iter (pointer doubling needs "
+            f"O(log n) rounds, so this indicates a pathological graph)")
     return labels

@@ -208,9 +208,12 @@ def dd_p90_events_hourly(spark, sf_dir):
     # hour derived ARITHMETICALLY from the epoch instant so the result is
     # independent of the (driver-controlled) session timezone: DuckDB's
     # EXTRACT(hour ...) reads the stored instant as a naive UTC timestamp,
-    # and (epoch div 3600) mod 24 is the same UTC hour under any tz
+    # and floor(epoch / 3600) mod 24 is the same UTC hour under any tz.
+    # floor (not `div`) because `div` truncates toward zero, which shifts
+    # the hour for pre-1970 (negative-epoch) timestamps.
     df = _t(spark, sf_dir, "events").withColumn(
-        "hr", F.expr("pmod(unix_timestamp(ts) div 3600, 24)").cast("long"))
+        "hr", F.expr("pmod(floor(unix_timestamp(ts) / 3600), 24)")
+              .cast("long"))
     return quantile_rows(df, "value", 0.05, 1024, [0.9],
                          keys=["hr", "event_type"])
 

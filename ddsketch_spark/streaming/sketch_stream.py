@@ -6,12 +6,13 @@ ddsketch.c:2402-2648). The shapes:
 1. :func:`foreach_batch_maintainer` — each micro-batch builds partial
    sketches with the JVM-native path and unions them into a persistent,
    HASH-PARTITIONED sketch table. State never transits the driver: the
-   micro-batch reads only the state partitions its keys touch (left-semi
-   join on the partition column -> dynamic partition pruning) and
-   dynamic-partition-overwrite rewrites only those. This is the
-   reference's "UPDATE summary SET d = ddsketch_union(d, new)" pattern,
-   amortized per micro-batch instead of per row, and it scales to 100 M
-   keys: per batch, work is O(touched partitions), not O(state).
+   micro-batch reads (by explicit path) only the bucket partitions its
+   keys touch and writes the merged buckets to a fresh batch-versioned
+   directory, committed by an atomic manifest rename — idempotent under
+   foreachBatch's at-least-once replay. This is the reference's
+   "UPDATE summary SET d = ddsketch_union(d, new)" pattern, amortized
+   per micro-batch instead of per row, and it scales to 100 M keys: per
+   batch, work is O(touched partitions), not O(state).
 
 2. :func:`windowed_bucket_counts` — watermarked event-time windowed
    DDSketch maintenance as a NATIVE streaming aggregation. A DDSketch is a
@@ -58,6 +59,44 @@ from ddsketch_spark.operators.aggregate import merge_partials
 from ddsketch_spark.operators.native import dd_bucket_exprs, ddsketch_agg_native
 
 
+def _read_manifest(state_dir: str) -> dict | None:
+    """Latest committed state manifest, or None before the first commit.
+    ``{"batch_id": int, "buckets": {"<bucket>": <version>}}`` — a bucket's
+    version is the batch_id whose ``v=<version>`` directory holds its
+    current sketch rows."""
+    import json
+
+    path = os.path.join(state_dir, "_manifest.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_state(spark, state_dir: str) -> DataFrame | None:
+    """Read the committed sketch-state table (``keys..., sketch, n``)
+    assembled from each bucket's latest committed version. Returns None
+    before the first commit. Partially-written (uncommitted) version
+    directories are invisible: only buckets named by the manifest load."""
+    man = _read_manifest(state_dir)
+    if man is None:
+        return None
+    by_ver: dict[int, list[str]] = {}
+    for b, v in man["buckets"].items():
+        by_ver.setdefault(int(v), []).append(b)
+    parts = []
+    for v, bs in sorted(by_ver.items()):
+        base = os.path.join(state_dir, f"v={v}")
+        paths = [os.path.join(base, f"__bucket={b}") for b in sorted(bs)]
+        parts.append(
+            spark.read.option("basePath", base).parquet(*paths)
+            .drop("__bucket"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def foreach_batch_maintainer(
     stream_df: DataFrame,
     state_dir: str,
@@ -73,64 +112,122 @@ def foreach_batch_maintainer(
     State table: ``keys..., sketch binary, n long`` partitioned by
     ``__bucket = pmod(xxhash64(keys), state_buckets)``. Size
     ``state_buckets`` so each partition's sketch rows fit an executor
-    comfortably (e.g. 4096 for ~100 M keys).
+    comfortably (e.g. 4096 for ~100 M keys). Read it back with
+    :func:`read_state`.
 
-    Scale contract (no driver round-trip): the batch's partials determine
-    the touched buckets; previous state is filtered with a broadcast
-    left-semi join on ``__bucket`` (dynamic partition pruning skips
-    untouched partition directories at the scan) and the merged result is
-    written back with dynamic partition overwrite, leaving every untouched
-    bucket's files in place. ``localCheckpoint`` truncates lineage so the
-    plan may overwrite the directory it read; a failed write is retried by
-    the streaming engine from the checkpoint (for stronger per-batch
-    atomicity put the state table on a transactional format — the write
-    path is a plain DataFrame write, so Iceberg/Delta slot in unchanged).
+    Scale contract (no sketch rows transit the driver): the batch's
+    partials determine the touched buckets (only their IDs — at most
+    ``state_buckets`` ints — reach the driver for the manifest); previous
+    state is read ONLY for touched buckets, by explicit path, and the
+    merged result is written to a fresh ``v=<batch_id>`` directory. Per
+    batch, work is O(touched buckets), not O(state).
+
+    Idempotent under foreachBatch's AT-LEAST-ONCE contract: state is
+    versioned by batch_id and committed via an atomically-renamed
+    manifest. A replayed micro-batch either (a) finds the manifest already
+    at ``batch_id`` and no-ops, or (b) re-reads the SAME previous versions
+    the failed attempt read (the manifest still names them) and rewrites
+    the same ``v=<batch_id>`` directory — a deterministic overwrite, never
+    a double merge. Superseded version directories are vacuumed after each
+    commit. The single non-atomic primitive assumed is file rename
+    (POSIX/HDFS); on S3-like stores, swap the manifest rename for a
+    conditional put.
+
+    ``state_dir`` is coupled to ``checkpoint_dir``: the manifest's
+    batch_id lives in the checkpoint's batch numbering, so deleting the
+    checkpoint while keeping the state (or vice versa) breaks the replay
+    contract — retire them together.
     """
-    keys = list(keys)
-    spark = stream_df.sparkSession
-
-    def bucket_expr():
-        return F.pmod(F.xxhash64(*keys), F.lit(state_buckets)).alias("__bucket")
-
-    def _state_exists() -> bool:
-        # dynamic partition overwrite writes no _SUCCESS marker — presence
-        # of any __bucket= partition directory is the signal. (Local-FS
-        # check; for HDFS/S3 swap in the Hadoop FileSystem API.)
-        return os.path.isdir(state_dir) and any(
-            e.startswith("__bucket=") for e in os.listdir(state_dir))
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        partial = (ddsketch_agg_native(batch_df, value_col, alpha, nbuckets,
-                                       keys)
-                   .withColumn("__bucket", bucket_expr()))
-        if _state_exists():
-            prev = spark.read.parquet(state_dir)
-            touched = partial.select("__bucket").distinct()
-            prev_touched = prev.join(F.broadcast(touched), on="__bucket",
-                                     how="leftsemi")
-            both = prev_touched.unionByName(partial)
-        else:
-            both = partial
-        with_lineage = both.withColumn(
-            "part_id", F.monotonically_increasing_id())
-        merged = (merge_partials(
-            with_lineage.select(*keys, "sketch", "part_id", "n"), keys=keys)
-            .withColumn("__bucket", bucket_expr()))
-        # materialize off the input files (truncates lineage; O(touched
-        # keys) kilobyte sketch rows on executors — never the driver),
-        # then rewrite ONLY the touched partitions
-        merged = merged.localCheckpoint(eager=True)
-        (merged.repartition("__bucket")
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("__bucket")
-         .parquet(state_dir))
-
+    process = make_maintainer_process(state_dir, value_col, keys, alpha,
+                                      nbuckets, state_buckets)
     return (stream_df.writeStream
             .foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def make_maintainer_process(
+    state_dir: str,
+    value_col: str,
+    keys: Sequence[str],
+    alpha: float = 0.01,
+    nbuckets: int = 2048,
+    state_buckets: int = 64,
+):
+    """The ``foreachBatch`` function behind :func:`foreach_batch_maintainer`
+    — exposed so the commit protocol (skip-replayed-batch, deterministic
+    rewrite after a crash between write and manifest commit) is directly
+    testable with hand-fed (batch_df, batch_id) pairs."""
+    keys = list(keys)
+
+    def bucket_expr():
+        return F.pmod(F.xxhash64(*keys), F.lit(state_buckets)).alias("__bucket")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import json
+        import shutil
+
+        man = _read_manifest(state_dir)
+        if man is not None and man["batch_id"] >= batch_id:
+            return  # replay of an already-committed batch: no-op
+        partial = (ddsketch_agg_native(batch_df, value_col, alpha, nbuckets,
+                                       keys)
+                   .withColumn("__bucket", bucket_expr())
+                   # materialize once: used for the touched-bucket list AND
+                   # the merge (O(touched keys) kilobyte rows on executors)
+                   .localCheckpoint(eager=True))
+        touched = sorted(r[0] for r in
+                         partial.select("__bucket").distinct().collect())
+
+        prev_buckets = man["buckets"] if man else {}
+        by_ver: dict[int, list[int]] = {}
+        for b in touched:
+            v = prev_buckets.get(str(b))
+            if v is not None:
+                by_ver.setdefault(int(v), []).append(b)
+        both = partial.select(*keys, "sketch", "n")
+        for v, bs in sorted(by_ver.items()):
+            base = os.path.join(state_dir, f"v={v}")
+            paths = [os.path.join(base, f"__bucket={b}") for b in bs]
+            prev_df = (spark.read.option("basePath", base).parquet(*paths)
+                       .select(*keys, "sketch", "n"))
+            both = both.unionByName(prev_df)
+
+        merged = (merge_partials(
+            both.withColumn("part_id", F.monotonically_increasing_id())
+                .select(*keys, "sketch", "part_id", "n"), keys=keys)
+            .withColumn("__bucket", bucket_expr()))
+        if touched:
+            (merged.repartition("__bucket")
+             .write.mode("overwrite")
+             .partitionBy("__bucket")
+             .parquet(os.path.join(state_dir, f"v={batch_id}")))
+
+        new_buckets = dict(prev_buckets)
+        for b in touched:
+            new_buckets[str(b)] = batch_id
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = os.path.join(state_dir, f"_manifest.{batch_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "buckets": new_buckets}, f)
+        os.replace(tmp, os.path.join(state_dir, "_manifest.json"))  # commit
+
+        # vacuum versions no bucket references anymore (best-effort:
+        # a leftover dir is garbage, never read — the manifest is truth)
+        live = {batch_id} | {int(v) for v in new_buckets.values()}
+        for entry in os.listdir(state_dir):
+            if entry.startswith("v="):
+                try:
+                    ver = int(entry[2:])
+                except ValueError:
+                    continue
+                if ver not in live:
+                    shutil.rmtree(os.path.join(state_dir, entry),
+                                  ignore_errors=True)
+
+    return process
 
 
 # ---------------------------------------------------------------------------

@@ -270,3 +270,45 @@ def test_vectorized_assembly_many_keys_with_batch_carries(spark):
             assert got[k][1] == len(grp)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_int64_keys_beyond_2_53_with_nulls_stay_distinct(spark):
+    """Regression (r2 ADVICE): a nullable int64 KEY column whose Arrow
+    batch contains a NULL used to coerce to float64 in pandas, silently
+    merging distinct keys >= 2^53 (60-bit h64 ids) into one run and
+    corrupting the emitted key value. grouped_apply_sorted now converts
+    integral key columns exactly (mapInArrow + integer_object_nulls).
+    Covers BOTH the per_run=False batch assembler (ddsketch_agg_native)
+    and the per_run=True merge path (sketch_agg)."""
+    import numpy as np
+
+    from ddsketch_spark.core.ddsketch import DDSketch
+    from ddsketch_spark.operators.aggregate import sketch_agg
+    from ddsketch_spark.operators.native import ddsketch_agg_native
+
+    base = 1 << 60          # float64 granularity here is 256 ulps
+    k1, k2 = base, base + 1  # distinct ints, identical as float64
+    rows, by_key = [], {}
+    rng = np.random.default_rng(7)
+    for k, scale in [(None, 1.0), (k1, 10.0), (k2, 1000.0)]:
+        vals = np.exp(rng.standard_normal(40)) * scale
+        by_key[k] = vals
+        rows.extend((k, float(v)) for v in vals)
+    df = spark.createDataFrame(rows, schema="k long, v double")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        for build in (
+            lambda: ddsketch_agg_native(df, "v", 0.01, 2048, keys=["k"]),
+            lambda: sketch_agg(df, "v", keys=["k"],
+                               factory=lambda: DDSketch(0.01, 2048)),
+        ):
+            got = {r["k"]: bytes(r["sketch"]) for r in build().collect()}
+            assert set(got) == {None, k1, k2}, sorted(
+                str(k) for k in got)
+            for k, vals in by_key.items():
+                want = DDSketch(0.01, 2048).update(vals)
+                assert DDSketch.from_bytes(got[k]) == want, k
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -57,11 +57,11 @@ def test_native_agg_is_codegen_hash_aggregate(spark, pages_path):
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_sum" in plan  # map-side partial aggregation
     # the ONLY Python stage is the final sorted-run sketch assembly
-    # (grouped_apply_sorted: MapInPandas over key-sorted bucket rows —
+    # (grouped_apply_sorted: MapInArrow over key-sorted bucket rows —
     # one Arrow batch per 64k rows, NOT one per key like
-    # FlatMapGroupsInPandas; formatted explain prints each node twice)
+    # FlatMapGroupsInPandas)
     tree = plan.split("(1) Scan")[0]
-    assert tree.count("MapInPandas") == 1, tree
+    assert tree.count("MapInArrow") == 1, tree
     assert "FlatMapGroupsInPandas" not in plan
     # the bucket computation itself is a JVM expression, before any Python
     assert "LOG(" in plan.upper() or "ln(" in plan

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ddsketch_spark.core.ddsketch import DDSketch
 from ddsketch_spark.streaming.sketch_stream import (
-    foreach_batch_maintainer, stateful_quantiles,
+    foreach_batch_maintainer, read_state, stateful_quantiles,
 )
 
 SCHEMA = "k string, v double"
@@ -47,7 +47,7 @@ def test_foreach_batch_incremental_equals_batch(spark, tmp_path):
     q.awaitTermination()
 
     got = {r["k"]: (bytes(r["sketch"]), r["n"])
-           for r in spark.read.parquet(state).collect()}
+           for r in read_state(spark, state).collect()}
     full = pd.concat(all_pdfs)
     for k, grp in full.groupby("k"):
         want = DDSketch(0.01, 2048).update(grp["v"].to_numpy())
@@ -124,7 +124,7 @@ def test_foreach_batch_windowed_keys(spark, tmp_path):
     foreach_batch_maintainer(stream, state, ckpt, "v", ["hr"]).awaitTermination()
 
     got = {r["hr"]: bytes(r["sketch"])
-           for r in spark.read.parquet(state).collect()}
+           for r in read_state(spark, state).collect()}
     both = pd.concat([c1, c2])
     both["hr"] = both["ts"].dt.floor("h")
     assert len(got) == 3  # hours 0, 1, 2
@@ -411,3 +411,80 @@ def test_windowed_agg_with_keys(spark, tmp_path):
         DDSketch(0.01, 2048).update(np.array([1.0, 3.0]))
     assert DDSketch.from_bytes(bytes(got[("de", base)]["sketch"])) == \
         DDSketch(0.01, 2048).update(np.array([2.0, 4.0]))
+
+
+def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is AT-LEAST-ONCE: a micro-batch that fails after its
+    state write (but before the manifest commit) is re-run with the same
+    (batch_df, batch_id). The versioned-state commit protocol must make
+    both replay shapes safe:
+
+    - replay AFTER commit  -> no-op (manifest already at batch_id);
+    - replay after a crash BETWEEN the v=<batch_id> write and the
+      manifest rename -> deterministic rewrite from the OLD manifest's
+      state, never a double merge.
+    """
+    from ddsketch_spark.streaming.sketch_stream import (
+        make_maintainer_process, read_state,
+    )
+    from ddsketch_spark.streaming import sketch_stream as mod
+
+    state = str(tmp_path / "idem_state")
+    process = make_maintainer_process(state, "v", ["k"], state_buckets=8)
+
+    def chunk(seed):
+        rng = np.random.default_rng(seed)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], 1500),
+            "v": np.exp(rng.standard_normal(1500)) * 100,
+        })
+        return pdf, spark.createDataFrame(pdf)
+
+    def check(pdfs):
+        got = {r["k"]: (bytes(r["sketch"]), r["n"])
+               for r in read_state(spark, state).collect()}
+        full = pd.concat(pdfs)
+        assert set(got) == set(full["k"].unique())
+        for k, grp in full.groupby("k"):
+            want = DDSketch(0.01, 2048).update(grp["v"].to_numpy())
+            assert DDSketch.from_bytes(got[k][0]) == want, k
+            assert got[k][1] == len(grp), k
+
+    p1, d1 = chunk(41)
+    p2, d2 = chunk(42)
+    p3, d3 = chunk(43)
+
+    process(d1, 0)
+    process(d2, 1)
+    check([p1, p2])
+
+    # replay after commit: engine re-runs batch 1 -> must be a no-op
+    process(d2, 1)
+    check([p1, p2])
+
+    # crash between state write and manifest commit, then replay
+    real_replace = os.replace
+
+    def crash_replace(src, dst):
+        raise OSError("injected crash before manifest commit")
+
+    mod.os.replace = crash_replace
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            process(d3, 2)
+    finally:
+        mod.os.replace = real_replace
+    # v=2 files exist on disk but are uncommitted: readers see old state
+    assert os.path.isdir(os.path.join(state, "v=2"))
+    check([p1, p2])
+
+    # replay of batch 2 re-reads the OLD manifest's versions and
+    # rewrites v=2 -> exactly-once result
+    process(d3, 2)
+    check([p1, p2, p3])
+
+    # and vacuum keeps only versions the manifest still references
+    man = mod._read_manifest(state)
+    live = {f"v={v}" for v in man["buckets"].values()}
+    on_disk = {e for e in os.listdir(state) if e.startswith("v=")}
+    assert on_disk == live
