@@ -60,31 +60,36 @@ def main() -> None:
     except Exception:
         pass
 
-    # min of 3 runs per query: the first run of a plan shape pays one-off
-    # codegen/broadcast costs that a long-running job amortizes, and the
-    # sandbox VM's CPU speed fluctuates — the minimum is the stable signal
-    timings: dict[str, float] = {}
-    for name in headline:
-        best = float("inf")
-        for _ in range(3):
+    # INTERLEAVED best-of-N (scaling_bench protocol, applied here per the
+    # r2 review): one untimed warm pass over every query (first execution
+    # of a plan shape pays one-off codegen/broadcast costs a long-running
+    # job amortizes), then ROUNDS timed passes that cycle through ALL
+    # queries before repeating any. The sandbox VM's CPU speed wanders
+    # 2-4x over minutes; interleaving spreads that drift evenly across
+    # queries instead of letting one slow minute poison one query, and
+    # the per-query minimum is the stable signal. `spread` = max-min
+    # across rounds — large spread means the number is VM noise, not plan.
+    ROUNDS = 3
+    extra_names = [n for n in ["multimodal_feature_stats",
+                               "dd_textlen_by_lang"] if n in QUERIES]
+    all_names = headline + extra_names
+    for name in all_names:          # warm pass, untimed
+        QUERIES[name](spark, sf_dir).collect()
+    samples: dict[str, list[float]] = {n: [] for n in all_names}
+    for _ in range(ROUNDS):
+        for name in all_names:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {n: round(min(samples[n]), 3) for n in headline}
+    spread = {n: round(max(samples[n]) - min(samples[n]), 3)
+              for n in all_names}
     total = round(sum(timings.values()), 3)
 
-    # non-headline components measured separately (kept out of `queries`
-    # so the per-round total/per-query diff stays apples-to-apples with r1)
-    extra: dict[str, float] = {}
-    for name in ["multimodal_feature_stats", "dd_textlen_by_lang"]:
-        if name in QUERIES:
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            extra[name] = round(best, 3)
+    # non-headline components (kept out of `queries` so the per-round
+    # total/per-query diff stays apples-to-apples with r1/r2)
+    extra = {n: round(min(samples[n]), 3) for n in extra_names}
 
     # docs/sec headline: lineitem rows processed per second by the flagship
     try:
@@ -99,6 +104,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "bench_protocol": f"interleaved best-of-{ROUNDS} after 1 warm pass",
         "extra_queries": extra,
         "sf": sf_dir,
         "cpus": cpus,

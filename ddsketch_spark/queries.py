@@ -162,6 +162,74 @@ def dd_quantiles_price_centered(spark, sf_dir):
 RANK_XS = [25000.0, 50000.0, 75000.0]
 
 
+def dd_rank_weighted_price(spark, sf_dir):
+    """Aggregate #14: weighted percentile_of (scalar x) — rank of 50k in
+    the l_quantity-weighted price distribution."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "w", F.col("l_quantity").cast("long"))
+    return api.ddsketch_percentile_of(df, "l_extendedprice", 0.05, 1024,
+                                      50000.0, weight_col="w", alias="rank")
+
+
+def dd_rank_array_weighted_price(spark, sf_dir):
+    """Aggregate #15: weighted percentile_of (vector x) — rows (x, rank)."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "w", F.col("l_quantity").cast("long"))
+    built = api.ddsketch(df, "l_extendedprice", 0.05, 1024, weight_col="w")
+    xarr = F.array(*[F.lit(x) for x in RANK_XS]).alias("x")
+    rarr = sketch_rank_of(F.col("sketch"), RANK_XS).alias("rank")
+    return (built.select(F.explode(F.arrays_zip(xarr, rarr)).alias("z"))
+            .select(F.col("z.x").alias("x"), F.col("z.rank").alias("rank")))
+
+
+def dd_quantiles_weighted_price(spark, sf_dir):
+    """Aggregate #13: weighted percentile (vector q) — rows (q, est)."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "w", F.col("l_quantity").cast("long"))
+    return quantile_rows(df, "l_extendedprice", 0.05, 1024,
+                         [0.25, 0.5, 0.9], weight_col="w")
+
+
+def dd_trimmed_weighted_price(spark, sf_dir):
+    """Aggregates #17/#20: weighted trimmed mean AND trimmed sum from one
+    l_quantity-weighted build — one row (avg_val, sum_val)."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "w", F.col("l_quantity").cast("long"))
+    built = api.ddsketch(df, "l_extendedprice", 0.05, 1024, weight_col="w")
+    return built.select(
+        F.round(sketch_trimmed(F.col("sketch"), 0.2, 0.8, "avg"), 4)
+         .alias("avg_val"),
+        F.round(sketch_trimmed(F.col("sketch"), 0.1, 0.9, "sum"), 4)
+         .alias("sum_val"))
+
+
+INCR_ADD_VALUE, INCR_ADD_COUNT = 1000.0, 5
+
+
+def dd_incremental_add_union(spark, sf_dir):
+    """Reference lifecycle C (README.md:199-243): build a stored sketch
+    table at (l_returnflag, l_linestatus) granularity, ddsketch_add a new
+    observation (value 1000, count 5) into EVERY stored sketch — the
+    incremental scalar path — then ddsketch_union the updated sketches up
+    to l_returnflag and extract p50/p90."""
+    from ddsketch_spark.functions.sketch_udfs import sketch_add
+
+    df = _t(spark, sf_dir, "lineitem")
+    fine = api.ddsketch(df, "l_extendedprice", 0.05, 1024,
+                        keys=["l_returnflag", "l_linestatus"])
+    updated = fine.select(
+        "l_returnflag",
+        sketch_add(F.col("sketch"), INCR_ADD_VALUE, INCR_ADD_COUNT,
+                   alpha=0.05, nbuckets=1024).alias("sketch"))
+    merged = merge_sketches(updated, "sketch", keys=["l_returnflag"])
+    qarr = F.array(F.lit(0.5), F.lit(0.9)).alias("q")
+    earr = sketch_quantile(F.col("sketch"), [0.5, 0.9]).alias("est")
+    return (merged.select("l_returnflag",
+                          F.explode(F.arrays_zip(qarr, earr)).alias("z"))
+            .select("l_returnflag", F.col("z.q").alias("q"),
+                    F.col("z.est").alias("est")))
+
+
 def dd_rank_array_price(spark, sf_dir):
     """Aggregate #4: vector of ranks — rows (x, rank)."""
     df = _t(spark, sf_dir, "lineitem")
@@ -602,6 +670,11 @@ QUERIES: dict[str, Callable] = {
     "dd_p90_events_hourly": dd_p90_events_hourly,
     "dd_quantiles_price_centered": dd_quantiles_price_centered,
     "dd_rank_array_price": dd_rank_array_price,
+    "dd_rank_weighted_price": dd_rank_weighted_price,
+    "dd_rank_array_weighted_price": dd_rank_array_weighted_price,
+    "dd_quantiles_weighted_price": dd_quantiles_weighted_price,
+    "dd_trimmed_weighted_price": dd_trimmed_weighted_price,
+    "dd_incremental_add_union": dd_incremental_add_union,
     "dd_rank_from_sketches_by_flag": dd_rank_from_sketches_by_flag,
     "dd_trimmed_sum_from_sketches": dd_trimmed_sum_from_sketches,
     "dd_trimmed_avg_from_sketches": dd_trimmed_avg_from_sketches,
@@ -666,6 +739,33 @@ ORACLES: dict[str, str] = {
     "dd_rank_array_price": " UNION ALL ".join(
         f"SELECT {oracles._lit(x)} AS x, rank FROM ({oracles.rank_of_sql('lineitem', 'l_extendedprice', 0.05, x)}) r{i}"
         for i, x in enumerate(RANK_XS)),
+    "dd_rank_weighted_price": oracles.rank_of_sql(
+        "lineitem", "l_extendedprice", 0.05, 50000.0,
+        weight_expr="CAST(l_quantity AS BIGINT)"),
+    "dd_rank_array_weighted_price": " UNION ALL ".join(
+        f"SELECT {oracles._lit(x)} AS x, rank FROM ("
+        + oracles.rank_of_sql("lineitem", "l_extendedprice", 0.05, x,
+                              weight_expr="CAST(l_quantity AS BIGINT)")
+        + f") wr{i}"
+        for i, x in enumerate(RANK_XS)),
+    "dd_quantiles_weighted_price": oracles.percentile_sql(
+        "lineitem", "l_extendedprice", 0.05, [0.25, 0.5, 0.9],
+        weight_expr="CAST(l_quantity AS BIGINT)"),
+    "dd_trimmed_weighted_price": (
+        "SELECT round(a.val, 4) AS avg_val, round(s.val, 4) AS sum_val FROM ("
+        + oracles.trimmed_sql("lineitem", "l_extendedprice", 0.05, 0.2, 0.8,
+                              "avg", weight_expr="CAST(l_quantity AS BIGINT)")
+        + ") a CROSS JOIN ("
+        + oracles.trimmed_sql("lineitem", "l_extendedprice", 0.05, 0.1, 0.9,
+                              "sum", weight_expr="CAST(l_quantity AS BIGINT)")
+        + ") s"),
+    "dd_incremental_add_union": oracles.percentile_sql(
+        "(SELECT l_returnflag, l_extendedprice AS iv, CAST(1 AS BIGINT) AS iw"
+        " FROM lineitem"
+        " UNION ALL"
+        " SELECT l_returnflag, 1000.0 AS iv, CAST(5 AS BIGINT) AS iw"
+        " FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)) u",
+        "iv", 0.05, [0.5, 0.9], keys=["l_returnflag"], weight_expr="iw"),
     "dd_rank_from_sketches_by_flag": oracles.rank_of_sql(
         "lineitem", "l_extendedprice", 0.05, 50000.0,
         keys=["l_returnflag"]),
