@@ -314,6 +314,48 @@ def merge_sketches(
                           map_side_combine=map_side_combine)
 
 
+def merge_sketches_extract(
+    df: DataFrame,
+    sketch_col: str,
+    keys: Sequence[str],
+    extract,
+    out_fields: Sequence[StructField],
+    from_bytes: Callable[[bytes], object] = dd_from_bytes,
+) -> DataFrame:
+    """Merge stored sketches per key and apply ``extract(acc) ->
+    dict[col, list]`` in the SAME Python stage — the reference's
+    FINALFUNC-inside-the-aggregate shape (``ddsketch_percentile(sketch,
+    q)``, ddsketch--1.0.0.sql:62-70): one shuffle + one Python stage
+    instead of a merge stage followed by a scalar-UDF extraction stage
+    (measured ~0.3s/query of stage overhead at sf0.1). ``extract``'s lists
+    may have length > 1 (e.g. one row per quantile); key columns repeat."""
+    keys = list(keys)
+    partials = (
+        df.select(*(keys + [F.col(sketch_col).alias("sketch")]))
+        .withColumn("part_id", F.spark_partition_id().cast("long"))
+        .withColumn("n", F.lit(1).cast("long"))
+    )
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in keys] + list(out_fields))
+
+    def merge_extract_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["sketch"]:
+            s = from_bytes(bytes(b))
+            acc = s if acc is None else acc.merge(s)
+        cols = extract(acc)
+        nrows = len(next(iter(cols.values())))
+        row = {k: [pdf[k].iloc[0]] * nrows for k in keys}
+        row.update(cols)
+        return pd.DataFrame(row)
+
+    if keys:
+        return grouped_apply_sorted(partials, keys, merge_extract_fn,
+                                    out_schema)
+    return partials.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        merge_extract_fn, schema=out_schema)
+
+
 def grouped_apply_sorted(df: DataFrame, keys: Sequence[str], fn,
                          schema: StructType, per_run: bool = True) -> DataFrame:
     """``groupBy(keys).applyInPandas(fn, schema)`` with O(Arrow batch)

@@ -110,8 +110,32 @@ def bucket_pairs_expr(ids_col: str = "ids") -> Column:
         f" y -> struct(x AS a, y AS b))))"))
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None,
+                 metric_name: str) -> DataFrame:
+    """Production escape valve for pathological LSH buckets (boilerplate
+    pages, parked domains, cookie banners): with ``max_bucket_size`` set,
+    buckets larger than the cap are SKIPPED instead of expanding to
+    m*(m-1)/2 pairs on one executor. Skips are counted via
+    ``DataFrame.observe`` — the metrics ride the same action (zero extra
+    jobs) and surface through QueryExecutionListener / the live UI as
+    ``{metric_name: {skipped_buckets, skipped_rows}}``. Default off:
+    uncapped output is what the exact oracles mirror."""
+    if max_bucket_size is None:
+        return buckets
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2")
+    over = F.size("ids") > max_bucket_size
+    observed = buckets.observe(
+        metric_name,
+        F.sum(F.when(over, 1).otherwise(0)).alias("skipped_buckets"),
+        F.sum(F.when(over, F.size("ids")).otherwise(0)).alias("skipped_rows"),
+    )
+    return observed.where(~over)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """``a, b, bands_shared`` — candidate near-duplicate pairs sharing at
     least one LSH band (a < b).
 
@@ -123,13 +147,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     BOTH join sides (Spark does not reuse the subplan across the two
     aliases), which measured ~2.5x slower end-to-end. Pair count per
     bucket is m*(m-1)/2 either way; the join materializes the same blow-up
-    as join output, so the list form is not asymptotically worse — at
-    100 TB a pathological bucket (e.g. boilerplate pages) should be capped
-    upstream by exact-dedup first, which removes identical texts."""
+    as join output, so the list form is not asymptotically worse.
+
+    At 100 TB, run exact-dedup first (removes identical texts — the bulk
+    of any boilerplate bucket) AND set ``max_bucket_size`` (see
+    :func:`_cap_buckets`): a bucket the cap skips is one whose members are
+    near-identical boilerplate — pairing them adds no signal, only a
+    quadratic array on one executor. SCALE.md discusses choosing the cap."""
     bands = lsh_bands(minhash_signatures(df, id_col, text_col), id_col)
     buckets = (bands.groupBy("band", "bsig")
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
                .where(F.size("ids") > 1))
+    buckets = _cap_buckets(buckets, max_bucket_size, "minhash_lsh_skipped")
     pairs = buckets.select(bucket_pairs_expr("ids").alias("p")).select("p.a", "p.b")
     return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("bands_shared"))
 
@@ -308,7 +337,8 @@ def rolling_fingerprint_col(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """``a, b, hamming`` — near-dup pairs whose 32-bit SimHashes differ in
     at most ``max_hamming`` bits. Candidates come from exact-match joins on
     the four 8-bit bands (any pair within hamming 3 must agree on >= 1
@@ -337,6 +367,7 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
                                             F.col("simhash").alias("sh"))))
                     .alias("ids"))
                .where(F.size("ids") > 1))
+    buckets = _cap_buckets(buckets, max_bucket_size, "simhash_skipped")
     cand = (buckets.select(bucket_pairs_expr("ids").alias("p"))
             .select(F.col("p.a.id").alias("a"), F.col("p.b.id").alias("b"),
                     F.col("p.a.sh").alias("sh_a"), F.col("p.b.sh").alias("sh_b"))

@@ -18,15 +18,16 @@ from ddsketch_spark.core.hashing import py_h64, spark_h64
 from ddsketch_spark.core.kll import KLL
 from ddsketch_spark.core.tdigest import TDigest
 from ddsketch_spark.functions.estimators import (
-    bloom_contains, cms_estimate, hll_estimate, kll_quantile,
-    tdigest_quantile,
+    bloom_contains, cms_estimate, hll_estimate,
 )
 from ddsketch_spark.functions.sketch_udfs import (
     sketch_buckets, sketch_info, sketch_quantile, sketch_rank_of,
     sketch_trimmed,
 )
 from ddsketch_spark.operators import api
-from ddsketch_spark.operators.aggregate import merge_sketches, sketch_agg
+from ddsketch_spark.operators.aggregate import (
+    merge_sketches, merge_sketches_extract, sketch_agg, sketch_partials,
+)
 from ddsketch_spark.operators.native import (
     bloom_agg_native, cms_agg_native, hll_agg_native,
 )
@@ -121,17 +122,22 @@ def dd_trimmed_sum_price(spark, sf_dir):
 
 def dd_reagg_p90_by_flag(spark, sf_dir):
     """Lifecycle B (README.md:121-124): pre-aggregate sketches at a finer
-    grouping, then merge up and extract — must equal the direct build."""
+    grouping, then merge up and extract — must equal the direct build.
+    Merge + quantile extraction run as ONE aggregate stage
+    (merge_sketches_extract), mirroring the reference's
+    ddsketch_percentile(sketch, q) FINALFUNC shape."""
+    from pyspark.sql.types import DoubleType, StructField
+
     df = _t(spark, sf_dir, "lineitem")
     fine = api.ddsketch(df, "l_extendedprice", 0.01, 2048,
                         keys=["l_returnflag", "l_linestatus"])
-    merged = merge_sketches(fine, "sketch", keys=["l_returnflag"])
-    qarr = F.array(F.lit(0.9)).alias("q")
-    earr = sketch_quantile(F.col("sketch"), [0.9]).alias("est")
-    return (
-        merged.select("l_returnflag", F.explode(F.arrays_zip(qarr, earr)).alias("z"))
-        .select("l_returnflag", F.col("z.q").alias("q"), F.col("z.est").alias("est"))
-    )
+    qs = [0.9]
+    return merge_sketches_extract(
+        fine, "sketch", ["l_returnflag"],
+        lambda s: {"q": [float(q) for q in qs],
+                   "est": [float(e) for e in s.quantile(qs)]},
+        [StructField("q", DoubleType(), False),
+         StructField("est", DoubleType(), True)])
 
 
 def dd_textlen_by_lang(spark, sf_dir):
@@ -346,7 +352,25 @@ def bloom_member_orderkeys(spark, sf_dir):
     return _explode_probes(built, BLOOM_PROBES, est, "member")
 
 
-def _rank_bound_query(spark, sf_dir, factory, from_bytes, quantile_fn):
+def _gather_estimates(df, factory, from_bytes, weight_col=None):
+    """Stage-1 partials + driver-side gather-merge + kernel quantile
+    extraction: the global-aggregate analogue of ``treeAggregate``'s final
+    gather (and of the reference's PG Gather node). Collected rows are one
+    kilobyte-scale partial per scan partition — for scans with 10k+ tasks,
+    insert one executor pre-merge round (``merge_partials`` with
+    ``merge_fanout``) to bound the gather. vs merging on an executor
+    (groupBy().applyInPandas): one fewer shuffle+Python stage and no
+    1-row extraction job — measured 1.23s -> 0.85s interleaved at sf0.1."""
+    parts = sketch_partials(df, "v", factory=factory,
+                            weight_col=weight_col).collect()
+    acc = None
+    for r in parts:
+        s = from_bytes(bytes(r["sketch"]))
+        acc = s if acc is None else acc.merge(s)
+    return acc.quantile(BOUND_QS)
+
+
+def _rank_bound_query(spark, sf_dir, factory, from_bytes):
     """Build the sketch over l_extendedprice, extract quantile estimates,
     then verify each estimate's EXACT rank lies within RANK_BOUND_EPS of the
     requested q — output ``q, ok``. The oracle returns TRUE rows, so a
@@ -354,15 +378,13 @@ def _rank_bound_query(spark, sf_dir, factory, from_bytes, quantile_fn):
     order-sensitive sketches)."""
     df = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"))
-    built = sketch_agg(df, "v", factory=factory, from_bytes=from_bytes)
-    # job 1: build the sketch and pull the 6 scalar estimates to the driver
-    # (a handful of doubles — NOT a data collect). Embedding them as
-    # literals lets job 2 verify all ranks in ONE conditional-sum pass over
-    # the table: no crossJoin row amplification (6x input), no broadcast
-    # exchange, no extra shuffle — at 100 TB the verification costs exactly
-    # one scan.
-    ests = built.select(
-        quantile_fn(F.col("sketch"), BOUND_QS).alias("est")).collect()[0]["est"]
+    # job 1: build partials and pull the 6 scalar estimates to the driver
+    # (kilobyte partials + a handful of doubles — NOT a data collect).
+    # Embedding them as literals lets job 2 verify all ranks in ONE
+    # conditional-sum pass over the table: no crossJoin row amplification
+    # (6x input), no broadcast exchange, no extra shuffle — at 100 TB the
+    # verification costs exactly one scan.
+    ests = _gather_estimates(df, factory, from_bytes)
     aggs = []
     for i, e in enumerate(ests):
         lit = F.lit(float(e))
@@ -379,8 +401,7 @@ def _rank_bound_query(spark, sf_dir, factory, from_bytes, quantile_fn):
     return rows.select("q", ok.alias("ok"))
 
 
-def _rank_bound_weighted_query(spark, sf_dir, factory, from_bytes,
-                               quantile_fn):
+def _rank_bound_weighted_query(spark, sf_dir, factory, from_bytes):
     """Weighted sibling of _rank_bound_query: the sketch is built with
     count weights (KLL decomposes a weight w into one item per set bit of
     w at the matching level), and the exact rank check runs over the
@@ -388,10 +409,7 @@ def _rank_bound_weighted_query(spark, sf_dir, factory, from_bytes,
     df = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").cast("long").alias("w"))
-    built = sketch_agg(df, "v", factory=factory, from_bytes=from_bytes,
-                       weight_col="w")
-    ests = built.select(
-        quantile_fn(F.col("sketch"), BOUND_QS).alias("est")).collect()[0]["est"]
+    ests = _gather_estimates(df, factory, from_bytes, weight_col="w")
     aggs = []
     for i, e in enumerate(ests):
         lit = F.lit(float(e))
@@ -412,17 +430,17 @@ def _rank_bound_weighted_query(spark, sf_dir, factory, from_bytes,
 
 def kll_weighted_rank_bound_price(spark, sf_dir):
     return _rank_bound_weighted_query(spark, sf_dir, lambda: KLL(200),
-                                      kll_mod.from_bytes, kll_quantile)
+                                      kll_mod.from_bytes)
 
 
 def kll_rank_bound_price(spark, sf_dir):
     return _rank_bound_query(spark, sf_dir, lambda: KLL(200),
-                             kll_mod.from_bytes, kll_quantile)
+                             kll_mod.from_bytes)
 
 
 def tdigest_rank_bound_price(spark, sf_dir):
     return _rank_bound_query(spark, sf_dir, lambda: TDigest(100.0),
-                             tdigest_mod.from_bytes, tdigest_quantile)
+                             tdigest_mod.from_bytes)
 
 
 # --------------------------------------------------------------------------

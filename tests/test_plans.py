@@ -146,3 +146,31 @@ def test_windowed_streaming_agg_is_jvm_native(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
     assert "pythonUDF" not in text and "PythonUDF" not in text, text[:1500]
     assert "window" in text.lower()
+
+
+def test_keyed_merge_single_exchange_single_python_stage(spark):
+    """The keyed sketch-merge path (grouped_apply_sorted) must stay ONE
+    repartition Exchange + ONE MapInArrow: a refactor that silently
+    double-shuffles or adds a second Python stage would double the
+    dominant cost at high key cardinality. Pinned on merge_partials
+    standalone (stored partial rows in, merged sketches out)."""
+    import pandas as pd
+
+    from ddsketch_spark.core.ddsketch import DDSketch
+    from ddsketch_spark.operators.aggregate import merge_partials
+
+    rows = []
+    for k in ("a", "b"):
+        s = DDSketch(0.05, 1024).update(np.array([1.0, 2.0]))
+        rows.append((k, s.to_bytes(), 0, 2))
+    partials = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "sketch", "part_id", "n"]))
+    merged = merge_partials(partials, keys=["k"])
+    plan = _plan(merged)
+    # keep only the tree portion (the detail section repeats node names)
+    tree = plan.split("(1) ")[0]
+    assert tree.count("MapInArrow") == 1, tree[:2000]
+    assert tree.count("Exchange") == 1, tree[:2000]
+    assert "FlatMapGroupsInPandas" not in tree
+    rows_out = merged.collect()
+    assert {r["k"] for r in rows_out} == {"a", "b"}

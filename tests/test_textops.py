@@ -243,3 +243,58 @@ def test_connected_components_full_range_ids(spark):
     for i in range(0, 40, 2):
         assert got[big + i] == big + i and got[big + i + 1] == big + i
         assert got[-big - i - 1] == -big - i - 1
+
+
+def test_lsh_max_bucket_size_skips_hot_buckets(spark):
+    """A boilerplate bucket (many near-identical docs) must be skippable
+    with max_bucket_size — the 100 TB escape valve — while small buckets'
+    pairs survive, and the skip count is observable on the same action."""
+    from pyspark.sql import Observation
+
+    from ddsketch_spark.operators import textops as t
+    from ddsketch_spark.operators.textops import (
+        minhash_lsh_pairs, simhash_dup_pairs,
+    )
+
+    boiler = "cookie banner accept all cookies to continue to this site ok"
+    rows = [(i, boiler) for i in range(12)]
+    # a small genuine near-dup pair, different from the boilerplate
+    rows += [(100, "the quick brown fox jumps over the lazy dog again today"),
+             (101, "the quick brown fox jumps over the lazy dog again now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_pairs(df).collect()
+    assert {(r["a"], r["b"]) for r in uncapped} >= {(100, 101)}
+    assert len(uncapped) == 12 * 11 // 2 + 1  # full boilerplate blow-up
+
+    # cap below the hot bucket: blow-up gone, the small pair survives
+    obs = Observation("cap")
+    capped = minhash_lsh_pairs(df, max_bucket_size=8).collect()
+    assert {(r["a"], r["b"]) for r in capped} == {(100, 101)}
+
+    # observe() metrics ride the same action: patch the metric through an
+    # Observation to read them back directly
+    orig = t._cap_buckets
+    def with_obs(buckets, cap, name):
+        over = F.size("ids") > cap
+        return buckets.observe(
+            obs,
+            F.sum(F.when(over, 1).otherwise(0)).alias("skipped_buckets"),
+            F.sum(F.when(over, F.size("ids")).otherwise(0)).alias("skipped_rows"),
+        ).where(~over)
+    t._cap_buckets = with_obs
+    try:
+        got = minhash_lsh_pairs(df, max_bucket_size=8).collect()
+    finally:
+        t._cap_buckets = orig
+    assert {(r["a"], r["b"]) for r in got} == {(100, 101)}
+    # one hot bucket per band (identical docs agree on every band)
+    from ddsketch_spark.textconf import LSH_BANDS
+    assert obs.get["skipped_buckets"] == LSH_BANDS
+    assert obs.get["skipped_rows"] == LSH_BANDS * 12
+
+    # simhash path: identical docs share all four 8-bit bands too
+    un = simhash_dup_pairs(df).collect()
+    cap = simhash_dup_pairs(df, max_bucket_size=8).collect()
+    assert len(un) > len(cap)
+    assert all(not (r["a"] < 12 and r["b"] < 12) for r in cap)
