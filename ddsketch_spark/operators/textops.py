@@ -85,11 +85,17 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """``id, band, bsig`` — md5 of each band's comma-joined signature rows."""
+    """``id, band, bsig`` — bsig is the band's raw signature rows as an
+    ``array<bigint>``. Earlier revisions hashed the band to an md5 hex
+    string; grouping on the raw values instead removes one md5 per
+    (doc, band) AND shrinks the shuffle key from a ~44-byte string to
+    4 packed longs — the bucket boundary is the dominant shuffle of the
+    dedup pipeline at 100 TB, so key width is wire volume. Buckets are
+    also exact by construction (no hash-collision false candidates)."""
     band_cols = []
     for b in range(LSH_BANDS):
         parts = [F.col(f"s{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        band_cols.append(F.md5(F.concat_ws(",", *parts).cast("binary")))
+        band_cols.append(F.array(*parts))
     stack_args = ", ".join(
         f"{b}, b{b}" for b in range(LSH_BANDS))
     wide = sigs.select(

@@ -379,9 +379,10 @@ def _minhash_ctes(docs_sql: str) -> str:
     band_rows = []
     for b in range(LSH_BANDS):
         cols = ", ".join(f"s{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        # bsig mirrors Spark's raw-signature array key (textops.lsh_bands):
+        # DuckDB LISTs group/join by value, same as Spark array<bigint>
         band_rows.append(
-            f"SELECT id, {b} AS band, md5(concat_ws(',', {cols})) AS bsig "
-            f"FROM sigs")
+            f"SELECT id, {b} AS band, [{cols}] AS bsig FROM sigs")
     bands = " UNION ALL ".join(band_rows)
     # the range *table function* can't take lateral column bounds in
     # DuckDB; the scalar list-returning range + unnest can.
