@@ -71,7 +71,8 @@ def main() -> None:
     # across rounds — large spread means the number is VM noise, not plan.
     ROUNDS = 3
     extra_names = [n for n in ["multimodal_feature_stats",
-                               "dd_textlen_by_lang"] if n in QUERIES]
+                               "dd_textlen_by_lang",
+                               "ann_ivf_cosine_topk"] if n in QUERIES]
     all_names = headline + extra_names
     for name in all_names:          # warm pass, untimed
         QUERIES[name](spark, sf_dir).collect()

@@ -170,3 +170,107 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int,
             .where(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("long").alias("rank"),
                     "neighbor_id"))
+
+
+# ------------------------------------------------------------------ IVF
+
+def ivf_codebook(df: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> list[tuple[int, list[int], int]]:
+    """Deterministic IVF coarse quantizer: the ``n_cells`` corpus vectors
+    with the smallest ``(h64(id), id)`` become cell seeds (k-means++-style
+    sampled init with zero Lloyd refinements — refinement would need
+    cross-engine-exact float means, which the oracle contract forbids).
+    Returns ``[(cell, quantized_seed, seed_norm2), ...]`` — a kilobyte-scale
+    driver gather (the ``_gather_estimates`` pattern: seed selection is a
+    distributed TakeOrdered job; the codebook then rides into the main plan
+    as literals so assignment is pure whole-stage-codegen with NO corpus
+    shuffle and no second pass)."""
+    from ddsketch_spark.core.hashing import spark_h64
+
+    q = with_quantized(df, emb_col)
+    rows = (q.select(F.col(id_col).alias("sid"),
+                     spark_h64(F.col(id_col)).alias("h"), "qv", "n2")
+            .orderBy("h", "sid")       # TakeOrdered: distributed top-C
+            .limit(n_cells)
+            .collect())
+    return [(c, [int(x) for x in r["qv"]], int(r["n2"]))
+            for c, r in enumerate(rows)]
+
+
+def _seed_cos(seed_q: list[int], seed_n2: int) -> Column:
+    """cosine(qv, seed) with the seed embedded as an array literal —
+    exact integer dot + two IEEE float ops, same contract as cosine_expr."""
+    lit_arr = F.array(*[F.lit(int(x)) for x in seed_q])
+    dot = F.aggregate(F.zip_with(F.col("qv"), lit_arr, lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (dot.cast("double")
+            / (F.sqrt(F.col("n2").cast("double"))
+               * F.sqrt(F.lit(float(seed_n2)))))
+
+
+def _cell_structs(codebook) -> Column:
+    """array<struct<cos, negcell>> — one entry per cell; struct ordering
+    makes max = (best cos, lowest cell) without any shuffle."""
+    return F.array(*[
+        F.struct(_seed_cos(qs, ns).alias("cos"),
+                 F.lit(-c).cast("long").alias("negcell"))
+        for c, qs, ns in codebook])
+
+
+def ivf_assign(df: DataFrame, codebook, id_col: str = "vec_id",
+               emb_col: str = "embedding") -> DataFrame:
+    """``id, cell, qv, n2`` — nearest-cell assignment (argmax cosine, ties
+    to the lowest cell index), computed as a per-row JVM expression over
+    the literal codebook: the corpus is scanned once and never shuffled."""
+    q = with_quantized(df, emb_col).select(F.col(id_col).alias("id"),
+                                           "qv", "n2")
+    best = F.array_max(_cell_structs(codebook))
+    return q.select("id", (-best["negcell"]).cast("long").alias("cell"),
+                    "qv", "n2")
+
+
+def ivf_probe(queries: DataFrame, codebook, nprobe: int,
+              id_col: str = "vec_id",
+              emb_col: str = "embedding") -> DataFrame:
+    """``query_id, cell, qa, na`` — each query expanded to its ``nprobe``
+    closest cells (sort the per-cell struct array desc, slice, explode)."""
+    q = with_quantized(queries, emb_col)
+    arr = F.reverse(F.array_sort(_cell_structs(codebook)))
+    probes = q.select(F.col(id_col).alias("query_id"),
+                      F.col("qv").alias("qa"), F.col("n2").alias("na"),
+                      F.explode(F.slice(arr, 1, nprobe)).alias("p"))
+    return probes.select("query_id", "qa", "na",
+                         (-F.col("p.negcell")).cast("long").alias("cell"))
+
+
+def ann_ivf_topk(df: DataFrame, queries: DataFrame, k: int,
+                 n_cells: int = 8, nprobe: int = 2,
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """``query_id, rank, neighbor_id`` — IVF approximate top-k: candidates
+    are corpus vectors whose cell is one of the query's ``nprobe`` closest
+    cells. vs the random-hyperplane LSH path: the quantizer is trained on
+    the data (seed vectors live where the data lives), so cells track the
+    corpus distribution and recall/candidate-count is tunable via
+    (n_cells, nprobe) instead of fixed by plane count.
+
+    Plan shape at 100 TB: seed selection is one TakeOrdered scan; the main
+    job is ONE corpus scan with per-row codegen assignment, broadcast-join
+    against the (queries x nprobe) probe rows on cell, then a per-query
+    window over candidates — the corpus is never shuffled, mirroring
+    ann_lsh_topk's bucket equi-join but with a data-adaptive codebook."""
+    from pyspark.sql.window import Window
+
+    codebook = ivf_codebook(df, n_cells, id_col, emb_col)
+    corpus = ivf_assign(df, codebook, id_col, emb_col).select(
+        F.col("id").alias("neighbor_id"), "cell",
+        F.col("qv").alias("qb"), F.col("n2").alias("nb"))
+    probes = ivf_probe(queries, codebook, nprobe, id_col, emb_col)
+    cand = (corpus.join(F.broadcast(probes), on="cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos", cosine_expr()))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id"))

@@ -650,6 +650,59 @@ WHERE {_COS} >= {_lit(threshold)}
 """
 
 
+def ann_ivf_topk_sql(n_queries: int, k: int, n_cells: int, nprobe: int,
+                     table: str = "embeddings", id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> str:
+    """Rows ``query_id, rank, neighbor_id`` — mirror of
+    similarity.ann_ivf_topk: seeds are the ``n_cells`` vectors with the
+    smallest ``(h64(id), id)``, every vector joins its argmax-cosine cell
+    (ties to the lowest cell), queries probe their ``nprobe`` closest
+    cells. The engines pick argmax differently (Spark: array_max over a
+    struct expression; here: row_number window) but on bit-identical
+    cosines the winners agree."""
+    seed_cos = ("CAST(CAST(list_sum(list_transform(list_zip(q.qv, s.qs),"
+                " z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)"
+                " / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(s.ns AS DOUBLE)))")
+    return f"""
+WITH {_emb_ctes(table, id_col, emb_col)},
+seeds AS (
+  SELECT row_number() OVER (ORDER BY h, sid) - 1 AS cell, qv AS qs, n2 AS ns
+  FROM (SELECT id AS sid, {duckdb_h64('id')} AS h, qv, n2 FROM q
+        ORDER BY h, sid LIMIT {n_cells}) t
+),
+scored AS (
+  SELECT q.id, s.cell, {seed_cos} AS cos FROM q, seeds s
+),
+assign AS (
+  SELECT id, cell FROM (
+    SELECT id, cell, row_number() OVER (PARTITION BY id
+                                        ORDER BY cos DESC, cell ASC) AS rn
+    FROM scored) t WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, cell FROM (
+    SELECT id, cell, row_number() OVER (PARTITION BY id
+                                        ORDER BY cos DESC, cell ASC) AS rn
+    FROM scored WHERE id < {n_queries}) t WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id, {_COS} AS cos
+  FROM probes p
+  JOIN q a ON a.id = p.query_id
+  JOIN assign nb ON nb.cell = p.cell
+  JOIN q b ON b.id = nb.id AND b.id <> a.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def simhash_dup_sql(docs_sql: str, max_hamming: int = 3) -> str:
     """Rows ``a, b, hamming`` — mirror of textops.simhash_dup_pairs over a
     (id, t) docs subquery."""

@@ -448,7 +448,8 @@ def tdigest_rank_bound_price(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 from ddsketch_spark.operators.similarity import (  # noqa: E402
-    ann_lsh_topk, cosine_dup_pairs, cosine_dup_pairs_lsh, cosine_topk,
+    ann_ivf_topk, ann_lsh_topk, cosine_dup_pairs, cosine_dup_pairs_lsh,
+    cosine_topk,
 )
 from ddsketch_spark.operators.textops import (  # noqa: E402
     bpe_token_count_col, exact_dedup, fingerprint_col, langid_col,
@@ -460,6 +461,8 @@ from ddsketch_spark.operators.textops import (  # noqa: E402
 MIRROR_OFFSET = 1_000_000
 ANN_N_QUERIES = 10
 ANN_K = 5
+ANN_IVF_CELLS = 8
+ANN_IVF_NPROBE = 2
 COS_DUP_THRESHOLD = 0.4
 
 
@@ -673,6 +676,14 @@ def ann_lsh_cosine_topk(spark, sf_dir):
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < ANN_N_QUERIES), ANN_K)
 
 
+def ann_ivf_cosine_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: data-adaptive sibling of the hyperplane
+    LSH path (similarity.ann_ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.where(F.col("vec_id") < ANN_N_QUERIES),
+                        ANN_K, n_cells=ANN_IVF_CELLS, nprobe=ANN_IVF_NPROBE)
+
+
 QUERIES: dict[str, Callable] = {
     "dd_quantiles_price_global": dd_quantiles_price_global,
     "dd_quantiles_price_by_flag": dd_quantiles_price_by_flag,
@@ -717,6 +728,7 @@ QUERIES: dict[str, Callable] = {
     "tokens_top10": tokens_top10,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
+    "ann_ivf_cosine_topk": ann_ivf_cosine_topk,
     "multimodal_feature_stats": multimodal_feature_stats,
     "multimodal_resize_frame_stats": multimodal_resize_frame_stats,
     "pipeline_prepared_docs": pipeline_prepared_docs,
@@ -825,6 +837,8 @@ ORACLES: dict[str, str] = {
         "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10"),
     "ann_cosine_topk": oracles.ann_topk_sql(ANN_N_QUERIES, ANN_K),
     "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
+    "ann_ivf_cosine_topk": oracles.ann_ivf_topk_sql(
+        ANN_N_QUERIES, ANN_K, ANN_IVF_CELLS, ANN_IVF_NPROBE),
     "multimodal_feature_stats": oracles.multimodal_stats_sql(
         N_MEDIA, MEDIA_SEED, 0.01, [0.5, 0.95]),
     "multimodal_resize_frame_stats": oracles.multimodal_resize_frames_sql(

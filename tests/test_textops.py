@@ -126,11 +126,54 @@ def test_ann_lsh_results_are_subset_of_ranked_neighbors(spark):
         assert bf_ranks == sorted(bf_ranks), qid
 
 
+def test_ann_ivf_covers_probed_cells_and_recalls(spark):
+    """IVF top-k: results are correctly-ranked members of the query's
+    probed cells, and with nprobe=n_cells (probe everything) IVF equals
+    brute force exactly — the candidate restriction is the ONLY
+    approximation."""
+    from ddsketch_spark.operators.similarity import (
+        ann_ivf_topk, ivf_assign, ivf_codebook, ivf_probe)
+
+    rng = np.random.default_rng(11)
+    emb = pd.DataFrame({
+        "vec_id": range(200),
+        "embedding": [rng.normal(0, 0.2, 64).astype(np.float32).tolist()
+                      for _ in range(200)],
+    })
+    df = spark.createDataFrame(emb)
+    qs = df.where(F.col("vec_id") < 5)
+
+    ivf = ann_ivf_topk(df, qs, 3, n_cells=8, nprobe=2).toPandas()
+    bf = cosine_topk(df, qs, 200).toPandas()
+    cb = ivf_codebook(df, 8)
+    assert len(cb) == 8
+    cells = ivf_assign(df, cb).toPandas().set_index("id")["cell"]
+    probes = ivf_probe(qs, cb, 2).toPandas()
+    for qid, grp in ivf.groupby("query_id"):
+        probed = set(probes[probes["query_id"] == qid]["cell"])
+        assert len(probed) == 2
+        ns = list(grp.sort_values("rank")["neighbor_id"])
+        assert all(cells[n] in probed for n in ns), qid
+        # ranked consistently with the brute-force scoring
+        ranks = bf[bf["query_id"] == qid].set_index("neighbor_id")["rank"]
+        got = [int(ranks[n]) for n in ns]
+        assert got == sorted(got), qid
+
+    # probing every cell makes IVF exact
+    full = ann_ivf_topk(df, qs, 3, n_cells=8, nprobe=8).toPandas()
+    want = bf[bf["rank"] <= 3].reset_index(drop=True)
+    got = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "neighbor_id"]],
+        want[["query_id", "rank", "neighbor_id"]], check_dtype=False)
+
+
 NEW_QUERIES = [
     "dedup_exact_docs", "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "dedup_simhash_docs", "dedup_simhash_pairs", "dedup_cosine_pairs",
     "dedup_cosine_pairs_lsh", "text_profile_docs", "ann_cosine_topk",
-    "ann_lsh_cosine_topk", "sample_docs_deterministic",
+    "ann_lsh_cosine_topk", "ann_ivf_cosine_topk",
+    "sample_docs_deterministic",
 ]
 
 

@@ -28,17 +28,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_probe(spark, n_keys: int, runs: int, workdir: str) -> dict:
+def run_probe(spark, n_keys: int, runs: int, workdir: str,
+              state_buckets: int = 256) -> dict:
     from pyspark.sql import functions as F
 
     from ddsketch_spark.streaming.sketch_stream import (
         _read_manifest, make_maintainer_process,
     )
 
-    state = os.path.join(workdir, f"state_{n_keys}")
+    state = os.path.join(workdir, f"state_{n_keys}_{state_buckets}")
     shutil.rmtree(state, ignore_errors=True)
     process = make_maintainer_process(state, "v", ["k"], alpha=0.01,
-                                      nbuckets=2048, state_buckets=256)
+                                      nbuckets=2048,
+                                      state_buckets=state_buckets)
 
     rows_per_key = 8
     base = (spark.range(0, n_keys * rows_per_key)
@@ -70,11 +72,11 @@ def run_probe(spark, n_keys: int, runs: int, workdir: str) -> dict:
         bid += 1
 
     man = _read_manifest(state)
-    touched_small = len({int(v) for v in man["buckets"].values()})
+    touched_small = len(man["buckets"])
     shutil.rmtree(state, ignore_errors=True)
     return {
         "n_keys": n_keys,
-        "state_buckets": 256,
+        "state_buckets": state_buckets,
         "init_sec": round(t_init, 3),
         "small_batch_sec_best": round(min(t_small), 3),
         "big_batch_sec_best": round(min(t_big), 3),
@@ -97,15 +99,28 @@ def main() -> None:
     spark = get_spark("state-probe", master="local[32]",
                       shuffle_partitions=32)
     os.makedirs(args.workdir, exist_ok=True)
-    results = [run_probe(spark, n, args.runs, args.workdir)
+    # per-batch cost is proportional to the bytes in TOUCHED buckets,
+    # so the operational rule is: scale state_buckets with total state to
+    # keep per-bucket volume (hence small-batch cost) constant. Probe both
+    # the fixed-bucket layout (cost grows with keys/bucket) and the
+    # scaled layout (cost ~flat).
+    results = [run_probe(spark, n, args.runs, args.workdir, 256)
                for n in args.keys]
+    scaled = [run_probe(spark, n, args.runs, args.workdir,
+                        max(256, 256 * n // args.keys[0]))
+              for n in args.keys[1:]]
     spark.stop()
-    out = {"probe": "streaming_state_touched_vs_total", "results": results}
+    out = {"probe": "streaming_state_touched_vs_total",
+           "results": results, "scaled_buckets_results": scaled}
     if len(results) == 2:
         r0, r1 = results
         out["small_batch_ratio_big_state_vs_small_state"] = round(
             r1["small_batch_sec_best"] / r0["small_batch_sec_best"], 3)
         out["state_ratio"] = round(r1["n_keys"] / r0["n_keys"], 1)
+        if scaled:
+            out["small_batch_ratio_scaled_buckets"] = round(
+                scaled[0]["small_batch_sec_best"]
+                / r0["small_batch_sec_best"], 3)
     print(json.dumps(out))
 
 
