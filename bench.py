@@ -83,6 +83,21 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
 
+    # adaptive re-rounds: a query whose spread exceeds half its best (or
+    # 0.25 s) was likely hit by a slow VM minute in every round it could
+    # have been fast — give just the noisy queries up to 2 more timed
+    # passes so one bad minute cannot poison a scoreboard entry
+    for _ in range(2):
+        noisy = [n for n in all_names
+                 if (max(samples[n]) - min(samples[n]))
+                 > max(0.25, 0.5 * min(samples[n]))]
+        if not noisy:
+            break
+        for name in noisy:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+
     timings = {n: round(min(samples[n]), 3) for n in headline}
     spread = {n: round(max(samples[n]) - min(samples[n]), 3)
               for n in all_names}
@@ -116,16 +131,18 @@ def main() -> None:
         # tools/scaling_bench.py with the interleaved fresh-JVM protocol
         # (full tables + methodology: BENCH/BASELINE.md)
         "scaling_64m_docs": {
-            "n4_to_16": {"docs_per_sec_n": 1879318,
-                         "docs_per_sec_4n": 6338507,
-                         "efficiency": 0.843,
-                         "note": "r2 re-measurement; r1 measured 0.823"},
-            "n8_to_32": {"docs_per_sec_n": 3387897,
-                         "docs_per_sec_4n": 8843983,
-                         "efficiency": 0.653,
-                         "note": "4N crosses into SMT; pure-CPU ceiling "
-                                 "on this box measured 0.6-0.78"},
-            "peak_docs_per_sec": 8843983,
+            "n4_to_16": {"docs_per_sec_n": 1695089,
+                         "docs_per_sec_4n": 5488524,
+                         "efficiency": 0.809,
+                         "note": "r3 re-measurement, best-of-5 interleaved;"
+                                 " r1 0.823, r2 0.843"},
+            "n8_to_32": {"docs_per_sec_n": 3137991,
+                         "docs_per_sec_4n": 8272788,
+                         "efficiency": 0.659,
+                         "note": "r3 re-measurement (r2: 0.653); 4N crosses "
+                                 "into SMT; pure-CPU ceiling on this box "
+                                 "measured 0.6-0.78"},
+            "peak_docs_per_sec": 8272788,
             # reference-methodology (cached numeric table, agg only):
             # 19.7M docs/s at local[4], 38.3M at local[16] — vs the
             # reference's 11.2M rows/s at 4 workers (cached PG table)

@@ -197,24 +197,28 @@ def ivf_codebook(df: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
             for c, r in enumerate(rows)]
 
 
-def _seed_cos(seed_q: list[int], seed_n2: int) -> Column:
+def _seed_cos_sql(seed_q: list[int], seed_n2: int) -> str:
     """cosine(qv, seed) with the seed embedded as an array literal —
-    exact integer dot + two IEEE float ops, same contract as cosine_expr."""
-    lit_arr = F.array(*[F.lit(int(x)) for x in seed_q])
-    dot = F.aggregate(F.zip_with(F.col("qv"), lit_arr, lambda x, y: x * y),
-                      F.lit(0).cast("long"), lambda acc, v: acc + v)
-    return (dot.cast("double")
-            / (F.sqrt(F.col("n2").cast("double"))
-               * F.sqrt(F.lit(float(seed_n2)))))
+    exact integer dot + two IEEE float ops, same contract as cosine_expr.
+    Emitted as ONE SQL string: building the equivalent tree from
+    per-element ``F.lit`` Columns costs ~1000 py4j round-trips per query
+    (measured ~0.8 s of pure driver time for an 8x64 codebook)."""
+    arr = ",".join(f"{int(x)}L" for x in seed_q)
+    dot = (f"aggregate(zip_with(qv, array({arr}), (x, y) -> x * y),"
+           f" 0L, (acc, v) -> acc + v)")
+    return (f"CAST({dot} AS DOUBLE)"
+            f" / (sqrt(CAST(n2 AS DOUBLE))"
+            f" * sqrt(CAST({int(seed_n2)}L AS DOUBLE)))")
 
 
-def _cell_structs(codebook) -> Column:
-    """array<struct<cos, negcell>> — one entry per cell; struct ordering
-    makes max = (best cos, lowest cell) without any shuffle."""
-    return F.array(*[
-        F.struct(_seed_cos(qs, ns).alias("cos"),
-                 F.lit(-c).cast("long").alias("negcell"))
-        for c, qs, ns in codebook])
+def _cell_structs_sql(codebook) -> str:
+    """SQL for array<struct<cos, negcell>> — one entry per cell; struct
+    ordering makes max = (best cos, lowest cell) without any shuffle."""
+    entries = ",".join(
+        f"struct({_seed_cos_sql(qs, ns)} AS cos,"
+        f" CAST({-c} AS BIGINT) AS negcell)"
+        for c, qs, ns in codebook)
+    return f"array({entries})"
 
 
 def ivf_assign(df: DataFrame, codebook, id_col: str = "vec_id",
@@ -224,7 +228,7 @@ def ivf_assign(df: DataFrame, codebook, id_col: str = "vec_id",
     the literal codebook: the corpus is scanned once and never shuffled."""
     q = with_quantized(df, emb_col).select(F.col(id_col).alias("id"),
                                            "qv", "n2")
-    best = F.array_max(_cell_structs(codebook))
+    best = F.expr(f"array_max({_cell_structs_sql(codebook)})")
     return q.select("id", (-best["negcell"]).cast("long").alias("cell"),
                     "qv", "n2")
 
@@ -235,7 +239,7 @@ def ivf_probe(queries: DataFrame, codebook, nprobe: int,
     """``query_id, cell, qa, na`` — each query expanded to its ``nprobe``
     closest cells (sort the per-cell struct array desc, slice, explode)."""
     q = with_quantized(queries, emb_col)
-    arr = F.reverse(F.array_sort(_cell_structs(codebook)))
+    arr = F.expr(f"reverse(array_sort({_cell_structs_sql(codebook)}))")
     probes = q.select(F.col(id_col).alias("query_id"),
                       F.col("qv").alias("qa"), F.col("n2").alias("na"),
                       F.explode(F.slice(arr, 1, nprobe)).alias("p"))
