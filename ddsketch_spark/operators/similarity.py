@@ -175,26 +175,60 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int,
 # ------------------------------------------------------------------ IVF
 
 def ivf_codebook(df: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
-                 emb_col: str = "embedding") -> list[tuple[int, list[int], int]]:
+                 emb_col: str = "embedding", refine_iters: int = 0,
+                 sample_n: int = 4096) -> list[tuple[int, list[int], int]]:
     """Deterministic IVF coarse quantizer: the ``n_cells`` corpus vectors
     with the smallest ``(h64(id), id)`` become cell seeds (k-means++-style
-    sampled init with zero Lloyd refinements — refinement would need
-    cross-engine-exact float means, which the oracle contract forbids).
-    Returns ``[(cell, quantized_seed, seed_norm2), ...]`` — a kilobyte-scale
-    driver gather (the ``_gather_estimates`` pattern: seed selection is a
-    distributed TakeOrdered job; the codebook then rides into the main plan
-    as literals so assignment is pure whole-stage-codegen with NO corpus
-    shuffle and no second pass)."""
+    sampled init). Returns ``[(cell, quantized_centroid, norm2), ...]`` —
+    a kilobyte-scale driver gather (the ``_gather_estimates`` pattern:
+    seed selection is a distributed TakeOrdered job; the codebook then
+    rides into the main plan as literals so assignment is pure
+    whole-stage-codegen with NO corpus shuffle and no second pass).
+
+    ``refine_iters > 0`` runs that many Lloyd iterations of spherical
+    k-means on a deterministic training sample (the ``sample_n`` vectors
+    with the smallest hash order — standard IVF practice: the quantizer
+    trains on a subsample, never the corpus). Refined centroids are
+    quantized back to the integer grid, so every downstream expression —
+    assignment, probes, exact re-ranking — is unchanged. The oracle-paired
+    driver query keeps ``refine_iters=0`` (seed selection is replayable in
+    SQL; float means are not); refined-codebook recall is pinned by pytest
+    instead."""
     from ddsketch_spark.core.hashing import spark_h64
 
     q = with_quantized(df, emb_col)
+    n_fetch = max(n_cells, sample_n if refine_iters > 0 else n_cells)
     rows = (q.select(F.col(id_col).alias("sid"),
                      spark_h64(F.col(id_col)).alias("h"), "qv", "n2")
-            .orderBy("h", "sid")       # TakeOrdered: distributed top-C
-            .limit(n_cells)
+            .orderBy("h", "sid")       # TakeOrdered: distributed top-N
+            .limit(n_fetch)
             .collect())
-    return [(c, [int(x) for x in r["qv"]], int(r["n2"]))
-            for c, r in enumerate(rows)]
+    cents = [np.asarray(r["qv"], dtype=np.float64) for r in rows[:n_cells]]
+    if refine_iters > 0 and len(rows) > n_cells:
+        sample = np.stack([np.asarray(r["qv"], dtype=np.float64)
+                           for r in rows])
+        norms = np.linalg.norm(sample, axis=1)
+        unit = sample[norms > 0] / norms[norms > 0, None]
+        c = np.stack(cents)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+        for _ in range(refine_iters):
+            assign = np.argmax(unit @ c.T, axis=1)       # cosine argmax
+            for j in range(n_cells):
+                members = unit[assign == j]
+                if len(members):                          # empty cell keeps
+                    m = members.mean(axis=0)              # its old centroid
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        c[j] = m / n
+        # back to the integer grid at seed-magnitude scale so the exact
+        # integer dot/norm machinery (and its overflow headroom) holds
+        scale = float(np.median([np.linalg.norm(x) for x in cents])) or 1.0
+        cents = [np.floor(c[j] * scale + 0.5) for j in range(n_cells)]
+    out = []
+    for j, v in enumerate(cents):
+        iv = [int(x) for x in v]
+        out.append((j, iv, int(sum(x * x for x in iv))))
+    return out
 
 
 def _seed_cos_sql(seed_q: list[int], seed_n2: int) -> str:
@@ -249,7 +283,8 @@ def ivf_probe(queries: DataFrame, codebook, nprobe: int,
 
 def ann_ivf_topk(df: DataFrame, queries: DataFrame, k: int,
                  n_cells: int = 8, nprobe: int = 2,
-                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 refine_iters: int = 0) -> DataFrame:
     """``query_id, rank, neighbor_id`` — IVF approximate top-k: candidates
     are corpus vectors whose cell is one of the query's ``nprobe`` closest
     cells. vs the random-hyperplane LSH path: the quantizer is trained on
@@ -264,7 +299,8 @@ def ann_ivf_topk(df: DataFrame, queries: DataFrame, k: int,
     ann_lsh_topk's bucket equi-join but with a data-adaptive codebook."""
     from pyspark.sql.window import Window
 
-    codebook = ivf_codebook(df, n_cells, id_col, emb_col)
+    codebook = ivf_codebook(df, n_cells, id_col, emb_col,
+                            refine_iters=refine_iters)
     corpus = ivf_assign(df, codebook, id_col, emb_col).select(
         F.col("id").alias("neighbor_id"), "cell",
         F.col("qv").alias("qb"), F.col("n2").alias("nb"))

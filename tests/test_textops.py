@@ -168,6 +168,45 @@ def test_ann_ivf_covers_probed_cells_and_recalls(spark):
         want[["query_id", "rank", "neighbor_id"]], check_dtype=False)
 
 
+def test_ivf_lloyd_refinement_improves_recall_on_clustered_data(spark):
+    """Spherical k-means refinement (refine_iters>0) trains the codebook
+    toward the data's true cluster structure: on a corpus of 8 separated
+    clusters, refined recall@5 must be high and at least match the
+    unrefined sampled-seed codebook. Also pins determinism (two runs,
+    identical codebook)."""
+    from ddsketch_spark.operators.similarity import ann_ivf_topk, ivf_codebook
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0, 1.0, (8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(400):
+        c = centers[i % 8]
+        vecs.append((c + rng.normal(0, 0.05, 64)).astype(np.float32).tolist())
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(400), "embedding": vecs}))
+    qs = df.where(F.col("vec_id") < 8)
+
+    cb1 = ivf_codebook(df, 8, refine_iters=5, sample_n=256)
+    cb2 = ivf_codebook(df, 8, refine_iters=5, sample_n=256)
+    assert cb1 == cb2  # deterministic
+
+    bf = cosine_topk(df, qs, 5).toPandas()
+    want = {qid: set(g["neighbor_id"]) for qid, g in bf.groupby("query_id")}
+
+    def recall(out):
+        hit = tot = 0
+        for qid, g in out.groupby("query_id"):
+            hit += len(set(g["neighbor_id"]) & want[qid])
+            tot += len(want[qid])
+        return hit / tot
+
+    plain = recall(ann_ivf_topk(df, qs, 5, 8, 1).toPandas())
+    refined = recall(ann_ivf_topk(df, qs, 5, 8, 1, refine_iters=5).toPandas())
+    assert refined >= plain
+    assert refined >= 0.9, (plain, refined)
+
+
 NEW_QUERIES = [
     "dedup_exact_docs", "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "dedup_simhash_docs", "dedup_simhash_pairs", "dedup_cosine_pairs",
