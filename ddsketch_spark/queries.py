@@ -12,6 +12,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ddsketch_spark import oracles
+from ddsketch_spark.core import hll as hll_mod
 from ddsketch_spark.core import kll as kll_mod
 from ddsketch_spark.core import tdigest as tdigest_mod
 from ddsketch_spark.core.hashing import py_h64, spark_h64
@@ -335,6 +336,27 @@ def hll_ndv_users_by_type(spark, sf_dir):
     built = hll_agg_native(df, "h", p=12, keys=["event_type"])
     return built.select(
         "event_type", F.round(hll_estimate(F.col("sketch")), 4).alias("ndv_est"))
+
+
+def hll_reagg_users_by_type(spark, sf_dir):
+    """Lifecycle B for the HLL sibling: build per-(event_type, hour) HLL
+    sketches, merge the STORED sketches up to event_type (register-wise
+    max, associative), extract the NDV estimate. The oracle computes the
+    direct per-type build in SQL, so a merge that is not exactly
+    register-max associative hash-mismatches — the HLL analogue of the
+    DDSketch dd_reagg_p90_by_flag lifecycle row."""
+    df = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("pmod(floor(unix_timestamp(ts) / 3600), 24)")
+         .cast("long").alias("hr"),
+        spark_h64("user_id").alias("h"))
+    fine = hll_agg_native(df, "h", p=12, keys=["event_type", "hr"])
+    merged = merge_sketches(fine.select("event_type", "sketch"), "sketch",
+                            keys=["event_type"],
+                            from_bytes=hll_mod.from_bytes)
+    return merged.select(
+        "event_type", F.round(hll_estimate(F.col("sketch")), 4)
+        .alias("ndv_est"))
 
 
 def _explode_probes(built, probes, est_col, out_name):
@@ -728,6 +750,7 @@ QUERIES: dict[str, Callable] = {
     "dd_trimmed_avg_from_sketches": dd_trimmed_avg_from_sketches,
     "hll_ndv_orderkeys": hll_ndv_orderkeys,
     "hll_ndv_users_by_type": hll_ndv_users_by_type,
+    "hll_reagg_users_by_type": hll_reagg_users_by_type,
     "cms_freq_event_types": cms_freq_event_types,
     "cms_freq_weighted_event_types": cms_freq_weighted_event_types,
     "bloom_member_orderkeys": bloom_member_orderkeys,
@@ -826,6 +849,10 @@ ORACLES: dict[str, str] = {
                               0.8, "avg") + ")",
     "hll_ndv_orderkeys": oracles.hll_ndv_sql("orders", "o_orderkey", p=12),
     "hll_ndv_users_by_type": oracles.hll_ndv_sql(
+        "events", "user_id", p=12, keys=["event_type"]),
+    # merge associativity: the merged-sketch estimate must equal the
+    # direct per-type build, which is what this SQL computes
+    "hll_reagg_users_by_type": oracles.hll_ndv_sql(
         "events", "user_id", p=12, keys=["event_type"]),
     "cms_freq_event_types": oracles.cms_freq_sql(
         "events", "event_type", 5, 2048, CMS_PROBES),
