@@ -12,6 +12,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ddsketch_spark import oracles
+from ddsketch_spark.core import bloom as bloom_mod
+from ddsketch_spark.core import cms as cms_mod
 from ddsketch_spark.core import hll as hll_mod
 from ddsketch_spark.core import kll as kll_mod
 from ddsketch_spark.core import tdigest as tdigest_mod
@@ -393,6 +395,35 @@ def bloom_member_orderkeys(spark, sf_dir):
     return _explode_probes(built, BLOOM_PROBES, est, "member")
 
 
+def cms_reagg_event_types(spark, sf_dir):
+    """Lifecycle B for count-min: per-hour CMS sketches merged to one
+    global sketch (cell-wise sum, associative), then probed. Oracle =
+    direct global build, so a non-associative merge hash-mismatches."""
+    df = _t(spark, sf_dir, "events").select(
+        F.expr("pmod(floor(unix_timestamp(ts) / 3600), 24)")
+         .cast("long").alias("hr"),
+        spark_h64("event_type").alias("h"))
+    fine = cms_agg_native(df, "h", depth=5, width=2048, keys=["hr"])
+    merged = merge_sketches(fine.select("sketch"), "sketch",
+                            from_bytes=cms_mod.from_bytes)
+    est = cms_estimate(F.col("sketch"), [py_h64(p) for p in CMS_PROBES])
+    return _explode_probes(merged, CMS_PROBES, est, "freq")
+
+
+def bloom_reagg_orderkeys(spark, sf_dir):
+    """Lifecycle B for Bloom: per-slice filters merged by bitwise OR
+    (associative) to one global filter, then probed. Oracle = direct
+    global build."""
+    df = _t(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("slc"),
+        spark_h64("o_orderkey").alias("h"))
+    fine = bloom_agg_native(df, "h", nbits=1 << 16, k=5, keys=["slc"])
+    merged = merge_sketches(fine.select("sketch"), "sketch",
+                            from_bytes=bloom_mod.from_bytes)
+    est = bloom_contains(F.col("sketch"), [py_h64(p) for p in BLOOM_PROBES])
+    return _explode_probes(merged, BLOOM_PROBES, est, "member")
+
+
 def _gather_estimates(df, factory, from_bytes, weight_col=None):
     """Stage-1 partials + driver-side gather-merge + kernel quantile
     extraction: the global-aggregate analogue of ``treeAggregate``'s final
@@ -751,6 +782,8 @@ QUERIES: dict[str, Callable] = {
     "hll_ndv_orderkeys": hll_ndv_orderkeys,
     "hll_ndv_users_by_type": hll_ndv_users_by_type,
     "hll_reagg_users_by_type": hll_reagg_users_by_type,
+    "cms_reagg_event_types": cms_reagg_event_types,
+    "bloom_reagg_orderkeys": bloom_reagg_orderkeys,
     "cms_freq_event_types": cms_freq_event_types,
     "cms_freq_weighted_event_types": cms_freq_weighted_event_types,
     "bloom_member_orderkeys": bloom_member_orderkeys,
@@ -856,9 +889,13 @@ ORACLES: dict[str, str] = {
         "events", "user_id", p=12, keys=["event_type"]),
     "cms_freq_event_types": oracles.cms_freq_sql(
         "events", "event_type", 5, 2048, CMS_PROBES),
+    "cms_reagg_event_types": oracles.cms_freq_sql(
+        "events", "event_type", 5, 2048, CMS_PROBES),
     "cms_freq_weighted_event_types": oracles.cms_freq_sql(
         "events", "event_type", 5, 2048, CMS_PROBES,
         weight_expr="(1 + user_id % 3)"),
+    "bloom_reagg_orderkeys": oracles.bloom_member_sql(
+        "orders", "o_orderkey", 1 << 16, 5, BLOOM_PROBES),
     "bloom_member_orderkeys": oracles.bloom_member_sql(
         "orders", "o_orderkey", 1 << 16, 5, BLOOM_PROBES),
     "kll_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
