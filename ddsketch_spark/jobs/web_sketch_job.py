@@ -181,6 +181,10 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("web-sketch-job", master=args.master)
+    # a checkpoint batch reads only its own file group; with coarse default
+    # splits (128 MB) a small group under-fans the cluster, so cut split
+    # size so every batch still spreads across all cores/executors
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     if args.input_path:
         provider = file_batches(spark, args.input_path, args.n_batches)
     else:
