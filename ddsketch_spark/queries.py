@@ -395,6 +395,45 @@ def bloom_member_orderkeys(spark, sf_dir):
     return _explode_probes(built, BLOOM_PROBES, est, "member")
 
 
+def stream_windowed_p90_events(spark, sf_dir):
+    """STREAMING driver row with a full hash oracle: the events table is
+    replayed through Structured Streaming (file source, availableNow),
+    aggregated as watermarked 1-hour-window DDSketch cells — a BUILT-IN
+    streaming sum, zero Python in the hot path — written in complete
+    mode to a memory sink (open windows included, so streamed == batch
+    exactly), assembled to binary sketches, p90 extracted per
+    (window_start, event_type). The oracle recomputes the same kernel in
+    SQL keyed by the arithmetic hour bucket, so a streaming path that
+    mangles cells, drops rows, or merges non-associatively
+    hash-mismatches. (Watermark append-mode finalization semantics are
+    pinned separately in tests/test_streaming.py.)"""
+    import uuid as _uuid
+
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_window_sketches, windowed_bucket_counts)
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+              # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP.
+              # Session tz is pinned UTC, so the cast is instant-preserving
+              # and matches the oracle's naive epoch(ts) arithmetic.
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    cells = windowed_bucket_counts(stream, "ts", "value", "1 hour",
+                                   "30 minutes", alpha=0.05,
+                                   keys=["event_type"])
+    name = "stream_p90_" + _uuid.uuid4().hex[:12]
+    q = (cells.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = assemble_window_sketches(spark.table(name), 0.05, 1024,
+                                   keys=["event_type"])
+    return got.select(
+        F.col("window_start").cast("long").alias("wstart"), "event_type",
+        F.lit(0.9).alias("q"),
+        sketch_quantile(F.col("sketch"), [0.9])[0].alias("est"))
+
+
 def cms_reagg_event_types(spark, sf_dir):
     """Lifecycle B for count-min: per-hour CMS sketches merged to one
     global sketch (cell-wise sum, associative), then probed. Oracle =
@@ -783,6 +822,7 @@ QUERIES: dict[str, Callable] = {
     "hll_ndv_users_by_type": hll_ndv_users_by_type,
     "hll_reagg_users_by_type": hll_reagg_users_by_type,
     "cms_reagg_event_types": cms_reagg_event_types,
+    "stream_windowed_p90_events": stream_windowed_p90_events,
     "bloom_reagg_orderkeys": bloom_reagg_orderkeys,
     "cms_freq_event_types": cms_freq_event_types,
     "cms_freq_weighted_event_types": cms_freq_weighted_event_types,
@@ -889,6 +929,10 @@ ORACLES: dict[str, str] = {
         "events", "user_id", p=12, keys=["event_type"]),
     "cms_freq_event_types": oracles.cms_freq_sql(
         "events", "event_type", 5, 2048, CMS_PROBES),
+    "stream_windowed_p90_events": oracles.percentile_sql(
+        "(SELECT *, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)"
+        " AS wstart FROM events) evw", "value", 0.05, [0.9],
+        keys=["wstart", "event_type"]),
     "cms_reagg_event_types": oracles.cms_freq_sql(
         "events", "event_type", 5, 2048, CMS_PROBES),
     "cms_freq_weighted_event_types": oracles.cms_freq_sql(
