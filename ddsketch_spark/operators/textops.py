@@ -252,28 +252,32 @@ def token_count_col(text_col: str) -> Column:
             .cast("long"))
 
 
-def _occurrences(padded: Column, word: str) -> Column:
+def _occurrences_sql(padded: str, word: str) -> str:
+    """SQL text for the space-padded occurrence count. These builders emit
+    ONE SQL string per output column instead of composing hundreds of
+    Column objects: every Column op is a py4j round-trip (~0.5-1 ms of
+    driver time), and langid+quality together were ~400 of them — a
+    constant ~0.3 s of plan-construction latency per query, JVM-identical
+    expression either way."""
     pat = f" {word} "
-    return ((F.length(padded)
-             - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
-            / F.lit(len(pat))).cast("long")
+    return (f"CAST((length({padded}) - length(replace({padded},"
+            f" '{pat}', ''))) / {len(pat)} AS BIGINT)")
 
 
 def langid_col(text_col: str) -> Column:
     """Heuristic language-ID: argmax of per-language stopword occurrence
     counts; ties go to the lexicographically smallest language."""
-    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    padded = f"concat(' ', {text_col}, ' ')"
     scores = {
-        lang: sum_cols([_occurrences(padded, w) for w in LANGID_STOPWORDS[lang]])
+        lang: "(" + " + ".join(_occurrences_sql(padded, w)
+                               for w in LANGID_STOPWORDS[lang]) + ")"
         for lang in LANGID_LANGS
     }
-    mx = F.greatest(*scores.values())
+    mx = "greatest(" + ", ".join(scores[lang] for lang in LANGID_LANGS) + ")"
     # first-match CASE in sorted language order == lexicographic tie-break
-    expr = None
-    for lang in LANGID_LANGS:
-        cond = scores[lang] == mx
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return expr
+    whens = " ".join(f"WHEN {scores[lang]} = {mx} THEN '{lang}'"
+                     for lang in LANGID_LANGS)
+    return F.expr(f"CASE {whens} END")
 
 
 def sum_cols(cols: list[Column]) -> Column:
@@ -287,21 +291,28 @@ def quality_score_col(text_col: str) -> Column:
     """Composite quality heuristic in [0, ~1]:
     ``w1*alpha_ratio + w2*stopword_ratio + w3*(1 - digit_ratio) +
     w4*space_ratio`` rounded to 6 dp (fixed left-assoc float expression,
-    mirrored exactly in SQL)."""
-    t = F.col(text_col)
-    ln = F.length(t).cast("double")
-    alpha = F.length(F.regexp_replace(t, "[^a-z]", "")).cast("double")
-    digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
-    space = (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))).cast("double")
-    padded = F.concat(F.lit(" "), t, F.lit(" "))
-    stop = sum_cols([_occurrences(padded, w) for w in QUALITY_STOPWORDS]).cast("double")
-    toks = token_count_col(text_col).cast("double")
+    mirrored exactly in SQL). Emitted as one SQL string — see
+    :func:`_occurrences_sql` for why."""
+    t = text_col
+    ln = f"CAST(length({t}) AS DOUBLE)"
+    alpha = f"CAST(length(regexp_replace({t}, '[^a-z]', '')) AS DOUBLE)"
+    digit = f"CAST(length(regexp_replace({t}, '[^0-9]', '')) AS DOUBLE)"
+    space = (f"CAST(length({t}) - length(replace({t}, ' ', ''))"
+             f" AS DOUBLE)")
+    padded = f"concat(' ', {t}, ' ')"
+    stop = ("CAST(" + " + ".join(_occurrences_sql(padded, w)
+                                 for w in QUALITY_STOPWORDS)
+            + " AS DOUBLE)")
+    toks = (f"CAST(CASE WHEN length({t}) = 0 THEN 0 ELSE length({t})"
+            f" - length(replace({t}, ' ', '')) + 1 END AS DOUBLE)")
     w1, w2, w3, w4 = QUALITY_WEIGHTS
-    score = (F.lit(w1) * (alpha / ln)
-             + F.lit(w2) * (stop / toks)
-             + F.lit(w3) * (F.lit(1.0) - digit / ln)
-             + F.lit(w4) * (space / ln))
-    return F.when(ln > 0, round6(score)).otherwise(F.lit(0.0))
+    # the D suffix forces DOUBLE literals — bare 0.4 parses as DECIMAL in
+    # Spark SQL, which would run the whole expression in decimal math
+    score = (f"{w1}D * ({alpha} / {ln}) + {w2}D * ({stop} / {toks})"
+             f" + {w3}D * (1.0D - {digit} / {ln}) + {w4}D * ({space} / {ln})")
+    rounded = f"floor(({score}) * 1000000.0D + 0.5D) / 1000000.0D"
+    return F.expr(
+        f"CASE WHEN {ln} > 0 THEN {rounded} ELSE 0.0D END")
 
 
 def fingerprint_col(text_col: str) -> Column:

@@ -554,6 +554,11 @@ def tdigest_rank_bound_price(spark, sf_dir):
                              tdigest_mod.from_bytes)
 
 
+def tdigest_weighted_rank_bound_price(spark, sf_dir):
+    return _rank_bound_weighted_query(spark, sf_dir, lambda: TDigest(100.0),
+                                      tdigest_mod.from_bytes)
+
+
 # --------------------------------------------------------------------------
 # query catalog — training-data pipeline ops (dedup / text / similarity)
 # --------------------------------------------------------------------------
@@ -830,6 +835,7 @@ QUERIES: dict[str, Callable] = {
     "kll_rank_bound_price": kll_rank_bound_price,
     "kll_weighted_rank_bound_price": kll_weighted_rank_bound_price,
     "tdigest_rank_bound_price": tdigest_rank_bound_price,
+    "tdigest_weighted_rank_bound_price": tdigest_weighted_rank_bound_price,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -945,6 +951,7 @@ ORACLES: dict[str, str] = {
     "kll_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
     "kll_weighted_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
     "tdigest_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
+    "tdigest_weighted_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
     "dedup_exact_docs": oracles.dedup_exact_sql(oracles.mirrored_docs_sql()),
     "dedup_minhash_pairs": oracles.minhash_pairs_sql(oracles.mirrored_docs_sql()),
     "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(oracles.mirrored_docs_sql()),
