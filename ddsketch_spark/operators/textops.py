@@ -77,8 +77,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     native partial-agg min per hash function."""
     sh = shingle_rows(df, id_col, text_col).select(
         F.col("id").alias(id_col), (spark_h64("sh") % _P31).alias("s"))
+    # one SQL string per aggregate: the Column-composed form cost ~100
+    # py4j round-trips of plan-construction latency per query
     aggs = [
-        F.min((F.lit(a) * F.col("s") + F.lit(b)) % F.lit(_P61)).alias(f"s{j}")
+        F.expr(f"min(({a}L * s + {b}L) % {_P61}L)").alias(f"s{j}")
         for j, (a, b) in enumerate(MINHASH_AB)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -94,12 +96,11 @@ def lsh_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     also exact by construction (no hash-collision false candidates)."""
     band_cols = []
     for b in range(LSH_BANDS):
-        parts = [F.col(f"s{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        band_cols.append(F.array(*parts))
+        parts = ", ".join(f"s{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_cols.append(F.expr(f"array({parts})").alias(f"b{b}"))
     stack_args = ", ".join(
         f"{b}, b{b}" for b in range(LSH_BANDS))
-    wide = sigs.select(
-        id_col, *[c.alias(f"b{b}") for b, c in enumerate(band_cols)])
+    wide = sigs.select(id_col, *band_cols)
     return wide.select(
         id_col,
         F.expr(f"stack({LSH_BANDS}, {stack_args}) as (band, bsig)"),
