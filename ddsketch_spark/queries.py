@@ -369,9 +369,20 @@ def _explode_probes(built, probes, est_col, out_name):
 
 
 def cms_freq_event_types(spark, sf_dir):
-    """Count-min frequency estimates for the five event types."""
-    df = _t(spark, sf_dir, "events").select(spark_h64("event_type").alias("h"))
-    built = cms_agg_native(df, "h", depth=5, width=2048)
+    """Count-min frequency estimates for the five event types.
+
+    Input reduction: CMS cell updates are additive, so count-by-value
+    FIRST (a dictionary-friendly JVM hash agg) and insert each distinct
+    value once with its count as the weight — bit-identical cells, and
+    the md5 hash + depth-way position explode run over ndv rows instead
+    of every event. At 10^12 rows this turns the sketch stage into
+    ndv-sized work behind one cheap pre-aggregation; measured 1.48 ->
+    0.99 s at sf0.1 even at ndv=5 (the residue is the events scan +
+    fixed per-query stages, not the sketch math)."""
+    df = (_t(spark, sf_dir, "events")
+          .groupBy("event_type").agg(F.count(F.lit(1)).alias("w"))
+          .select(spark_h64("event_type").alias("h"), "w"))
+    built = cms_agg_native(df, "h", depth=5, width=2048, weight_col="w")
     est = cms_estimate(F.col("sketch"), [py_h64(p) for p in CMS_PROBES])
     return _explode_probes(built, CMS_PROBES, est, "freq")
 
@@ -379,9 +390,13 @@ def cms_freq_event_types(spark, sf_dir):
 def cms_freq_weighted_event_types(spark, sf_dir):
     """Weighted count-min: event-type frequency weighted by 1+(user_id%3)
     (stand-in for bytes-weighted URL frequency at web scale)."""
-    df = _t(spark, sf_dir, "events").select(
-        spark_h64("event_type").alias("h"),
-        (F.lit(1) + F.col("user_id") % 3).cast("long").alias("w"))
+    # same input reduction as cms_freq_event_types: weights are additive,
+    # so pre-sum them per value before hashing
+    df = (_t(spark, sf_dir, "events")
+          .groupBy("event_type")
+          .agg(F.sum((F.lit(1) + F.col("user_id") % 3).cast("long"))
+               .alias("w"))
+          .select(spark_h64("event_type").alias("h"), "w"))
     built = cms_agg_native(df, "h", depth=5, width=2048, weight_col="w")
     est = cms_estimate(F.col("sketch"), [py_h64(p) for p in CMS_PROBES])
     return _explode_probes(built, CMS_PROBES, est, "freq")
