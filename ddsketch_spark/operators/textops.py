@@ -20,6 +20,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ddsketch_spark.core.hashing import spark_h64
@@ -407,6 +409,31 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
         raise ValueError("rate must be in [0, 1]")
     threshold = int(rate * (1 << 60))
     return df.where(spark_h64(key_col) < threshold)
+
+
+def stratified_hash_sample(df: DataFrame, key_cols: Sequence[str],
+                           id_col: str, n_per_key: int) -> DataFrame:
+    """Deterministic FIXED-SIZE sample per stratum: keep the ``n_per_key``
+    rows of each ``key_cols`` group with the smallest ``(h64(id), id)``.
+    The hash order is a pure row function, so the sample is stable across
+    runs, partitionings, and cluster sizes (the fixed-quota sibling of
+    :func:`hash_sample`'s Bernoulli rate — use this when downstream
+    budgets are per-stratum row COUNTS, e.g. 'at most N documents per
+    language/source pair').
+
+    Scale: one shuffle by the stratum key for the window; rank truncation
+    happens inside the sort, so only ~n_per_key rows per stratum survive
+    the stage. For heavily skewed strata, pre-filter with ``hash_sample``
+    at a generous rate first so the per-stratum sort input is bounded."""
+    from pyspark.sql.window import Window
+
+    if n_per_key < 1:
+        raise ValueError("n_per_key must be >= 1")
+    w = Window.partitionBy(*key_cols).orderBy(
+        spark_h64(id_col).asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n_per_key)
+            .drop("__rk"))
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:

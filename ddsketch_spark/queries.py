@@ -675,6 +675,17 @@ def sample_docs_deterministic(spark, sf_dir):
         "doc_id", fingerprint_col("text").alias("fp"))
 
 
+def sample_docs_stratified(spark, sf_dir):
+    """Fixed-quota deterministic sample: at most 5 docs per
+    (lang, source) stratum, chosen by smallest (h64(doc_id), doc_id) —
+    the per-stratum-budget sibling of sample_docs_deterministic. Quota 5
+    binds even at sf0.01, so the driver row exercises the truncation."""
+    d = _t(spark, sf_dir, "documents")
+    from ddsketch_spark.operators.textops import stratified_hash_sample
+    return stratified_hash_sample(d, ["lang", "source"], "doc_id", 5) \
+        .select("doc_id", "lang", "source")
+
+
 def text_profile_docs(spark, sf_dir):
     """doc_id, tokens, bpe_tokens, lang_pred, quality, fp, rfp — the
     text-analysis stack (whitespace + BPE-ish regex token counts, stopword
@@ -860,6 +871,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_cosine_pairs": dedup_cosine_pairs,
     "dedup_cosine_pairs_lsh": dedup_cosine_pairs_lsh,
     "sample_docs_deterministic": sample_docs_deterministic,
+    "sample_docs_stratified": sample_docs_stratified,
     "text_profile_docs": text_profile_docs,
     "tokens_top10": tokens_top10,
     "ann_cosine_topk": ann_cosine_topk,
@@ -979,6 +991,12 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, " + oracles.duckdb_h64_pub("text") + " AS fp "
         "FROM documents WHERE " + oracles.duckdb_h64_pub("text")
         + f" < {int(0.25 * (1 << 60))}"),
+    "sample_docs_stratified": (
+        "SELECT doc_id, lang, source FROM ("
+        "  SELECT doc_id, lang, source, row_number() OVER ("
+        "    PARTITION BY lang, source ORDER BY "
+        + oracles.duckdb_h64_pub("doc_id") + " ASC, doc_id ASC) AS rk"
+        "  FROM documents) t WHERE rk <= 5"),
     "text_profile_docs": oracles.text_profile_sql(),
     "tokens_top10": (
         "SELECT token, CAST(count(*) AS BIGINT) AS cnt "

@@ -168,6 +168,30 @@ def test_ann_ivf_covers_probed_cells_and_recalls(spark):
         want[["query_id", "rank", "neighbor_id"]], check_dtype=False)
 
 
+def test_stratified_hash_sample_quota_and_partition_stability(spark):
+    """Fixed-quota sampling: at most n rows per stratum, the SAME rows
+    under any partitioning (pure hash order), quota-respecting even for
+    strata smaller than the quota."""
+    from ddsketch_spark.operators.textops import stratified_hash_sample
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": range(300),
+        "k": [f"s{i % 7}" for i in range(300)],
+    }))
+    out = stratified_hash_sample(df, ["k"], "id", 10).toPandas()
+    sizes = out.groupby("k").size()
+    assert (sizes == 10).all() and len(sizes) == 7
+    # tiny stratum: keeps all rows, no padding
+    small = df.where(F.col("id") < 3)
+    kept = stratified_hash_sample(small, ["k"], "id", 10).toPandas()
+    assert len(kept) == 3
+    # partition-stability: identical selection after an arbitrary shuffle
+    out2 = stratified_hash_sample(df.repartition(13), ["k"], "id", 10).toPandas()
+    a = out.sort_values(["k", "id"]).reset_index(drop=True)
+    b = out2.sort_values(["k", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ivf_lloyd_refinement_improves_recall_on_clustered_data(spark):
     """Spherical k-means refinement (refine_iters>0) trains the codebook
     toward the data's true cluster structure: on a corpus of 8 separated
