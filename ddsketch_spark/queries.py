@@ -776,6 +776,25 @@ def tokens_top10(spark, sf_dir):
             .limit(TOPK_TOKENS))
 
 
+def tokens_top5_by_lang(spark, sf_dir):
+    """lang, token, cnt, rk — per-language top-5 token frequencies
+    (grouped heavy hitters: the per-stratum vocabulary probe). Token
+    explode -> partial-agg count by (lang, token) -> per-lang window
+    rank over the already-aggregated (small) relation: the window never
+    sees raw token rows, so its input is O(distinct tokens), not O(corpus
+    tokens)."""
+    from pyspark.sql.window import Window
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = d.select("lang",
+                    F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("token").asc())
+    return (counts.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= 5))
+
+
 RESIZE_W, RESIZE_H, FRAME_EVERY = 16, 4, 2
 
 
@@ -874,6 +893,7 @@ QUERIES: dict[str, Callable] = {
     "sample_docs_stratified": sample_docs_stratified,
     "text_profile_docs": text_profile_docs,
     "tokens_top10": tokens_top10,
+    "tokens_top5_by_lang": tokens_top5_by_lang,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
     "ann_ivf_cosine_topk": ann_ivf_cosine_topk,
@@ -998,6 +1018,13 @@ ORACLES: dict[str, str] = {
         + oracles.duckdb_h64_pub("doc_id") + " ASC, doc_id ASC) AS rk"
         "  FROM documents) t WHERE rk <= 5"),
     "text_profile_docs": oracles.text_profile_sql(),
+    "tokens_top5_by_lang": (
+        "SELECT lang, token, cnt, rk FROM ("
+        "  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt,"
+        "         row_number() OVER (PARTITION BY lang"
+        "           ORDER BY count(*) DESC, token ASC) AS rk"
+        "  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token"
+        "        FROM documents) GROUP BY lang, token) t WHERE rk <= 5"),
     "tokens_top10": (
         "SELECT token, CAST(count(*) AS BIGINT) AS cnt "
         "FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
