@@ -260,6 +260,51 @@ def test_query_matches_oracle_sf0001(spark, name):
             assert x == y or (pd.isna(x) and pd.isna(y)), (c, x, y)
 
 
+def test_unicode_text_cross_engine_parity(spark):
+    """Multibyte text through the dedup/profile hash layer: Spark and
+    DuckDB must agree on every shared primitive — h64 (md5 of UTF-8
+    bytes), character-based substring shingles, padded stopword counts —
+    for non-ASCII input, not just the ASCII synthetic corpus. Catches
+    byte-vs-character or encoding drift between the engines."""
+    from ddsketch_spark.operators.textops import (langid_col,
+                                                  minhash_signatures)
+    from ddsketch_spark.oracles import _minhash_ctes
+    from ddsketch_spark.textconf import MINHASH_H
+
+    docs = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "t": ["der schnelle Fuchs über den zaun und die Straße",
+              "el niño comió mañana y la cigüeña",
+              "彼は毎日学校へ行きます 天気がいいですね",
+              "mixed ascii and ünïcödé text the and of to in"],
+    })
+    sdf = spark.createDataFrame(docs)
+    sigs = (minhash_signatures(sdf, "id", "t")
+            .toPandas().sort_values("id").reset_index(drop=True))
+    langs = (sdf.select("id", langid_col("t").alias("lang"))
+             .toPandas().sort_values("id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("docs_py", docs)
+    osigs = con.execute(
+        "WITH " + _minhash_ctes("(SELECT id, t FROM docs_py)")
+        + " SELECT * FROM sigs ORDER BY id").fetchdf()
+    for j in range(MINHASH_H):
+        assert list(sigs[f"s{j}"]) == list(osigs[f"s{j}"]), f"s{j}"
+    # full-text h64 parity (md5 over the UTF-8 bytes on both engines)
+    oh = con.execute(
+        "SELECT (('0x' || substr(md5(t), 1, 15))::BIGINT) AS h"
+        " FROM docs_py ORDER BY id").fetchdf()
+    sh = (sdf.orderBy("id").select(F.conv(F.substring(
+        F.md5(F.col("t").cast("binary")), 1, 15), 16, 10).cast("long")
+        .alias("h")).toPandas())
+    assert list(sh["h"]) == list(oh["h"])
+    # language-ID on latin stopwords: de/es texts classify; the Chinese
+    # text has zero stopword hits, so the argmax ties resolve to the
+    # lexicographically smallest language ('de') by contract
+    assert list(langs["lang"]) == ["de", "es", "de", "en"]
+
+
 def test_hash_sample_deterministic_and_stable(spark):
     from ddsketch_spark.operators.textops import hash_sample
 
