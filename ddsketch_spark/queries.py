@@ -178,6 +178,20 @@ def dd_quantiles_events_by_type(spark, sf_dir):
                          keys=["event_type"])
 
 
+def dd_quantiles_qty_preagg(spark, sf_dir):
+    """Input-reduction demonstration (SCALE.md): l_quantity has ~50
+    distinct values, so count-by-value first and build the sketch with
+    the counts as weights — insert(v) x n == insert(v, weight=n) for the
+    additive bucket store, so this is bit-identical to the direct build
+    while the bucketization runs over ndv rows instead of every line
+    item. The oracle computes the direct build over raw rows."""
+    df = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_quantity")
+          .agg(F.count(F.lit(1)).cast("long").alias("w")))
+    return quantile_rows(df, "l_quantity", 0.01, 2048, [0.25, 0.5, 0.9],
+                         weight_col="w")
+
+
 def dd_quantiles_price_centered(spark, sf_dir):
     """Zero-straddling build (reference test/sql/ddsketch.sql:212-236):
     shifting prices by the ~median exercises the negative store AND the
@@ -859,6 +873,7 @@ QUERIES: dict[str, Callable] = {
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
     "dd_p90_events_hourly": dd_p90_events_hourly,
     "dd_quantiles_price_centered": dd_quantiles_price_centered,
+    "dd_quantiles_qty_preagg": dd_quantiles_qty_preagg,
     "dd_rank_array_price": dd_rank_array_price,
     "dd_rank_weighted_price": dd_rank_weighted_price,
     "dd_rank_array_weighted_price": dd_rank_array_weighted_price,
@@ -931,6 +946,8 @@ ORACLES: dict[str, str] = {
         "(SELECT *, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr"
         " FROM events) evh", "value", 0.05, [0.9],
         keys=["hr", "event_type"]),
+    "dd_quantiles_qty_preagg": oracles.percentile_sql(
+        "lineitem", "l_quantity", 0.01, [0.25, 0.5, 0.9]),
     "dd_quantiles_price_centered": oracles.percentile_sql(
         "lineitem", "(l_extendedprice - 51000.0)", 0.05,
         [0.1, 0.5, 0.9]),
