@@ -287,6 +287,18 @@ def sketch_agg(
     return merge_partials(partials, keys, from_bytes, merge_fanout)
 
 
+def _stored_rows_as_partials(df: DataFrame, sketch_col: str,
+                             keys: Sequence[str]) -> DataFrame:
+    """Project stored sketch rows into the partial-row contract
+    (``keys..., sketch, part_id, n``) shared by merge_partials — one
+    place to evolve the lineage fields."""
+    return (
+        df.select(*(list(keys) + [F.col(sketch_col).alias("sketch")]))
+        .withColumn("part_id", F.spark_partition_id().cast("long"))
+        .withColumn("n", F.lit(1).cast("long"))
+    )
+
+
 def merge_sketches(
     df: DataFrame,
     sketch_col: str,
@@ -302,11 +314,7 @@ def merge_sketches(
     """
     keys = list(keys)
     # treat each stored sketch row as a "partial" with synthetic lineage
-    partials = (
-        df.select(*(list(keys) + [F.col(sketch_col).alias("sketch")]))
-        .withColumn("part_id", F.spark_partition_id().cast("long"))
-        .withColumn("n", F.lit(1).cast("long"))
-    )
+    partials = _stored_rows_as_partials(df, sketch_col, keys)
     # map_side_combine pays off when many stored sketch rows per key share
     # a scan partition (see merge_partials; measured on hot keys in
     # tools/skew_bench.py) — keep it off for small reagg jobs
@@ -330,11 +338,7 @@ def merge_sketches_extract(
     (measured ~0.3s/query of stage overhead at sf0.1). ``extract``'s lists
     may have length > 1 (e.g. one row per quantile); key columns repeat."""
     keys = list(keys)
-    partials = (
-        df.select(*(keys + [F.col(sketch_col).alias("sketch")]))
-        .withColumn("part_id", F.spark_partition_id().cast("long"))
-        .withColumn("n", F.lit(1).cast("long"))
-    )
+    partials = _stored_rows_as_partials(df, sketch_col, keys)
     out_schema = StructType(
         [f for f in df.schema.fields if f.name in keys] + list(out_fields))
 

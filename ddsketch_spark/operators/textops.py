@@ -460,6 +460,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("a").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
+    if not labels.take(1):
+        # empty candidate graph (a clean corpus): nothing to propagate,
+        # and the label-sum convergence check below can never fire
+        # (sum over zero rows is NULL every round) — return the empty
+        # labels frame instead of spinning max_iter rounds and raising
+        return labels
     prev_sum = None
     converged = False
     for _ in range(max_iter):

@@ -457,10 +457,16 @@ def stream_windowed_p90_events(spark, sf_dir):
     q.awaitTermination()
     got = assemble_window_sketches(spark.table(name), 0.05, 1024,
                                    keys=["event_type"])
-    return got.select(
+    out = got.select(
         F.col("window_start").cast("long").alias("wstart"), "event_type",
         F.lit(0.9).alias("q"),
         sketch_quantile(F.col("sketch"), [0.9])[0].alias("est"))
+    # detach the result from the memory-sink table so the per-invocation
+    # sink can be dropped (otherwise each call leaks one full complete-
+    # mode result set in driver memory for the session's lifetime)
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def cms_reagg_event_types(spark, sf_dir):

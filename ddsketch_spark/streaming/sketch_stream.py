@@ -73,6 +73,26 @@ def _read_manifest(state_dir: str) -> dict | None:
         return json.load(f)
 
 
+def _check_no_orphan_state(state_dir: str) -> None:
+    """A state_dir holding bucket data but NO manifest is not 'no state':
+    it is state written by an earlier layout (or a torn manual copy), and
+    treating it as empty would silently discard every accumulated sketch
+    on the next commit. Fail loudly instead."""
+    if not os.path.isdir(state_dir):
+        return
+    # only TOP-LEVEL __bucket= dirs are foreign (the pre-manifest layout
+    # wrote them via dynamic partition overwrite). Manifest-less v=N dirs
+    # are NOT flagged: a crash after writing v=<first batch> but before
+    # the first manifest commit legitimately leaves one, and replay
+    # deterministically rewrites it.
+    orphans = [e for e in os.listdir(state_dir) if e.startswith("__bucket=")]
+    if orphans:
+        raise RuntimeError(
+            f"state dir {state_dir} contains pre-manifest bucket data "
+            f"({orphans[:3]}...) but no _manifest.json — refusing to "
+            f"treat it as empty state; migrate or remove the directory")
+
+
 def read_state(spark, state_dir: str) -> DataFrame | None:
     """Read the committed sketch-state table (``keys..., sketch, n``)
     assembled from each bucket's latest committed version. Returns None
@@ -80,6 +100,11 @@ def read_state(spark, state_dir: str) -> DataFrame | None:
     directories are invisible: only buckets named by the manifest load."""
     man = _read_manifest(state_dir)
     if man is None:
+        _check_no_orphan_state(state_dir)
+        return None
+    if not man["buckets"]:
+        # committed-but-empty state (e.g. the first micro-batch carried no
+        # rows): a valid manifest with nothing to read
         return None
     by_ver: dict[int, list[str]] = {}
     for b, v in man["buckets"].items():
@@ -170,6 +195,8 @@ def make_maintainer_process(
         import shutil
 
         man = _read_manifest(state_dir)
+        if man is None:
+            _check_no_orphan_state(state_dir)
         if man is not None and man["batch_id"] >= batch_id:
             return  # replay of an already-committed batch: no-op
         partial = (ddsketch_agg_native(batch_df, value_col, alpha, nbuckets,

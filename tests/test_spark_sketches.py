@@ -114,6 +114,13 @@ NEW_QUERIES = [
     "hll_ndv_orderkeys", "hll_ndv_users_by_type", "cms_freq_event_types",
     "bloom_member_orderkeys", "kll_rank_bound_price",
     "tdigest_rank_bound_price",
+    # round-3 rows: lifecycle re-aggregation, weighted rank bounds,
+    # pre-agg weighted build, incremental update, streaming window
+    "hll_reagg_users_by_type", "cms_reagg_event_types",
+    "bloom_reagg_orderkeys", "cms_freq_weighted_event_types",
+    "kll_weighted_rank_bound_price", "tdigest_weighted_rank_bound_price",
+    "dd_quantiles_qty_preagg", "dd_incremental_add_union",
+    "dd_reagg_p90_by_flag", "stream_windowed_p90_events",
 ]
 
 

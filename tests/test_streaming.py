@@ -413,6 +413,42 @@ def test_windowed_agg_with_keys(spark, tmp_path):
         DDSketch(0.01, 2048).update(np.array([2.0, 4.0]))
 
 
+def test_empty_first_batch_and_orphan_state_guard(spark, tmp_path):
+    """Two state-layer edge cases:
+
+    - a first micro-batch with zero rows commits an empty manifest;
+      read_state must return None (regression: it indexed parts[0] of an
+      empty list), and a following non-empty batch must build state
+      normally on top;
+    - a state dir holding pre-manifest-layout bucket data but no
+      manifest is NOT 'no state' — reading or writing it must raise
+      rather than silently discarding the accumulated sketches.
+    """
+    from ddsketch_spark.streaming.sketch_stream import (
+        make_maintainer_process, read_state,
+    )
+
+    state = str(tmp_path / "empty_first")
+    process = make_maintainer_process(state, "v", ["k"], state_buckets=8)
+    empty = spark.createDataFrame([], "k string, v double")
+    process(empty, 0)
+    assert read_state(spark, state) is None
+
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [1.0, 2.0]})
+    process(spark.createDataFrame(pdf), 1)
+    got = {r["k"] for r in read_state(spark, state).collect()}
+    assert got == {"a", "b"}
+
+    orphan = tmp_path / "orphan_state"
+    (orphan / "__bucket=3").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="no _manifest"):
+        read_state(spark, str(orphan))
+    proc2 = make_maintainer_process(str(orphan), "v", ["k"],
+                                    state_buckets=8)
+    with pytest.raises(RuntimeError, match="no _manifest"):
+        proc2(spark.createDataFrame(pdf), 0)
+
+
 def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is AT-LEAST-ONCE: a micro-batch that fails after its
     state write (but before the manifest commit) is re-run with the same

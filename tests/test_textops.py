@@ -236,7 +236,8 @@ NEW_QUERIES = [
     "dedup_simhash_docs", "dedup_simhash_pairs", "dedup_cosine_pairs",
     "dedup_cosine_pairs_lsh", "text_profile_docs", "ann_cosine_topk",
     "ann_lsh_cosine_topk", "ann_ivf_cosine_topk",
-    "sample_docs_deterministic",
+    "sample_docs_deterministic", "sample_docs_stratified",
+    "tokens_top5_by_lang",
 ]
 
 
@@ -353,6 +354,17 @@ def test_connected_components_chain_and_clusters(spark):
     got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_empty_graph(spark):
+    """A clean corpus yields zero candidate pairs; the operator must
+    return an empty labels frame, not spin to max_iter and raise
+    (regression: the convergence check's label sum is NULL on zero rows,
+    so 'converged' could never fire)."""
+    from ddsketch_spark.operators.textops import connected_components
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty).collect() == []
 
 
 def test_connected_components_long_chain_logn_rounds(spark):
