@@ -144,10 +144,11 @@ def main() -> None:
                                  "measured 0.6-0.78"},
             "peak_docs_per_sec": 8272788,
             # reference-methodology (cached numeric table, agg only):
-            # 19.7M docs/s at local[4], 38.3M at local[16] — vs the
-            # reference's 11.2M rows/s at 4 workers (cached PG table)
-            "cached_table_docs_per_sec": {"local4": 19679037,
-                                          "local16": 38325227,
+            # 22.5M docs/s at local[4], 41.7M at local[16] — vs the
+            # reference's 11.2M rows/s at 4 workers (cached PG table);
+            # r3 re-measurement (r2: 19.7M / 38.3M)
+            "cached_table_docs_per_sec": {"local4": 22491800,
+                                          "local16": 41730001,
                                           "local32": 30783481},
         },
         # hot-key merge strategies (tools/skew_bench.py, 512 heavy partials

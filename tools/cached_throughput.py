@@ -12,7 +12,7 @@ from ddsketch_spark.functions.sketch_udfs import sketch_quantile
 cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 spark = get_spark("cached-tp", master=f"local[{cpus}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet("/tmp/ddsketch_scaling_docs64")
+docs = spark.read.parquet("/tmp/ddsketch_scaling_docs")
 work = (docs.select("lang", F.length("text").cast("double").alias("v"))
         .repartition(cpus * 4).cache())
 n = work.count()  # materialize cache
