@@ -152,10 +152,10 @@ def main() -> None:
                                           "local32": 30783481},
         },
         # hot-key merge strategies (tools/skew_bench.py, 512 heavy partials
-        # on one key): map-side combine 2.0-2.4x over single-round merge
-        # (post-sorted-run-assembly numbers, BENCH/BASELINE.md)
-        "skew_merge": {"single_round_sec": 2.17, "salted_fanout_sec": 1.40,
-                       "map_combine_sec": 0.94, "speedup": 2.3},
+        # on one key): map-side combine 2.0-2.6x over single-round merge
+        # (r3 re-measurement, BENCH/BASELINE.md; r1 2.02x, r2 2.3x)
+        "skew_merge": {"single_round_sec": 2.50, "salted_fanout_sec": 1.389,
+                       "map_combine_sec": 0.98, "speedup": 2.55},
         "scaling_evidence": "BENCH/BASELINE.md",
         # no Iceberg runtime jar ships in this sandbox (no network):
         # table layer proven format-agnostic in
