@@ -101,6 +101,10 @@ def main() -> None:
     timings = {n: round(min(samples[n]), 3) for n in headline}
     spread = {n: round(max(samples[n]) - min(samples[n]), 3)
               for n in all_names}
+    # methodology transparency (r3 advice): a reported min over 5 samples
+    # is not comparable to a min over 3 — record how many timed passes
+    # each query's min came from so BENCH evidence can be read per-row
+    n_samples = {n: len(samples[n]) for n in all_names}
     total = round(sum(timings.values()), 3)
 
     # non-headline components (kept out of `queries` so the per-round
@@ -121,7 +125,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        "bench_protocol": f"interleaved best-of-{ROUNDS} after 1 warm pass",
+        "bench_protocol": (f"interleaved best-of-{ROUNDS} after 1 warm pass;"
+                           " noisy queries get up to 2 re-rounds"
+                           " (per-query sample count in n_samples)"),
+        "n_samples": n_samples,
         "extra_queries": extra,
         "sf": sf_dir,
         "cpus": cpus,

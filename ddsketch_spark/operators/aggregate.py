@@ -160,6 +160,64 @@ def sketch_partials(
     return projected.mapInPandas(update_fn, schema=out_schema)
 
 
+AUTO_FANOUT_THRESHOLD = 512
+
+
+def auto_merge_fanout(n_partitions: int,
+                      threshold: int = AUTO_FANOUT_THRESHOLD) -> int | None:
+    """Default pre-merge fanout for a scan with ``n_partitions`` tasks.
+
+    Below ``threshold`` map tasks, a single gather/merge of one partial
+    per task is cheaper than an extra shuffle round — return None. Above
+    it (10k-task scans at 100 TB), return ~sqrt(n) so both the pre-merge
+    groups and the final gather see O(sqrt(n)) rows — the fanout the
+    docstrings of ``merge_partials``/``_gather_estimates`` previously told
+    callers to pick by hand (r3 review item 9)."""
+    if n_partitions <= threshold:
+        return None
+    return max(2, min(4096, int(np.ceil(np.sqrt(n_partitions)))))
+
+
+def premerge_partials(
+    partials: DataFrame,
+    fanout: int,
+    from_bytes: Callable[[bytes], object] = dd_from_bytes,
+    keys: Sequence[str] = (),
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """One executor pre-merge round: group partial rows by
+    ``(keys, part_id % fanout)`` and merge each group to a single row,
+    bounding whatever consumes the partials next (a driver gather or the
+    final per-key merge) to ``fanout`` rows per key. Output keeps the
+    partial-row contract (``keys..., sketch, part_id, n``) with
+    ``part_id`` = the salt."""
+    keys = list(keys)
+    salt = F.pmod(F.col("part_id"), F.lit(fanout)).alias("__salt")
+    pre_keys = keys + ["__salt"]
+    pre_schema = StructType(
+        [f for f in partials.schema.fields if f.name in keys]
+        + [StructField("__salt", LongType(), False),
+           StructField(sketch_col, BinaryType(), False),
+           StructField("n", LongType(), False)]
+    )
+
+    def pre_merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf[sketch_col]:
+            s = from_bytes(bytes(b))
+            acc = s if acc is None else acc.merge(s)
+        row = {k: [pdf[k].iloc[0]] for k in pre_keys}
+        row[sketch_col] = [acc.to_bytes()]
+        row["n"] = [int(pdf["n"].sum())]
+        return pd.DataFrame(row)
+
+    return (
+        grouped_apply_sorted(partials.withColumn("__salt", salt),
+                             pre_keys, pre_merge_fn, pre_schema)
+        .withColumn("part_id", F.col("__salt")).drop("__salt")
+    )
+
+
 def merge_partials(
     partials: DataFrame,
     keys: Sequence[str] = (),
@@ -237,30 +295,8 @@ def merge_partials(
 
     work = partials
     if merge_fanout and merge_fanout > 1:
-        salt = F.pmod(F.col("part_id"), F.lit(merge_fanout)).alias("__salt")
-        pre_keys = keys + ["__salt"]
-        pre_schema = StructType(
-            [f for f in partials.schema.fields if f.name in keys]
-            + [StructField("__salt", LongType(), False),
-               StructField(sketch_col, BinaryType(), False),
-               StructField("n", LongType(), False)]
-        )
-
-        def pre_merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            acc = None
-            for b in pdf[sketch_col]:
-                s = from_bytes(bytes(b))
-                acc = s if acc is None else acc.merge(s)
-            row = {k: [pdf[k].iloc[0]] for k in pre_keys}
-            row[sketch_col] = [acc.to_bytes()]
-            row["n"] = [int(pdf["n"].sum())]
-            return pd.DataFrame(row)
-
-        work = (
-            grouped_apply_sorted(partials.withColumn("__salt", salt),
-                                 keys + ["__salt"], pre_merge_fn, pre_schema)
-            .withColumn("part_id", F.col("__salt"))
-        )
+        work = premerge_partials(partials, merge_fanout, from_bytes,
+                                 keys, sketch_col)
 
     if keys:
         return grouped_apply_sorted(work, keys, merge_fn, out_schema)

@@ -82,10 +82,19 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int,
 
 def cosine_dup_pairs(df: DataFrame, threshold: float,
                      id_col: str = "vec_id",
-                     emb_col: str = "embedding") -> DataFrame:
+                     emb_col: str = "embedding",
+                     exact: bool = False) -> DataFrame:
     """``a, b`` pairs with cosine >= threshold (a < b) — embedding near-dup
-    detection. Self-join formulation; at scale, restrict with LSH buckets
-    first (see ann_buckets)."""
+    detection.
+
+    Default is the LSH-bucketed plan (:func:`cosine_dup_pairs_lsh`):
+    candidates must share a hyperplane bucket, so the join is a sublinear
+    equi-join and the plan survives a 100x corpus. ``exact=True`` opts in
+    to the O(n^2) self-join — full recall, but quadratic row
+    amplification; it exists as the exactness baseline for tests/oracles
+    and should never be the default at scale (r3 review item 5)."""
+    if not exact:
+        return cosine_dup_pairs_lsh(df, threshold, id_col, emb_col)
     q = with_quantized(df, emb_col)
     l = q.select(F.col(id_col).alias("a"), F.col("qv").alias("qa"),
                  F.col("n2").alias("na"))
@@ -221,13 +230,25 @@ def ivf_codebook(df: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
                     if n > 0:
                         c[j] = m / n
         # back to the integer grid at seed-magnitude scale so the exact
-        # integer dot/norm machinery (and its overflow headroom) holds
+        # integer dot/norm machinery (and its overflow headroom) holds;
+        # a degenerate corpus (near-zero-norm seeds) can quantize a
+        # refined centroid to the zero vector, whose norm would make
+        # _seed_cos_sql divide by sqrt(0) — keep the unrefined seed for
+        # any such cell so assignment cosines are always defined
         scale = float(np.median([np.linalg.norm(x) for x in cents])) or 1.0
-        cents = [np.floor(c[j] * scale + 0.5) for j in range(n_cells)]
+        refined = [np.floor(c[j] * scale + 0.5) for j in range(n_cells)]
+        cents = [r if float(np.dot(r, r)) > 0 else s
+                 for r, s in zip(refined, cents)]
     out = []
     for j, v in enumerate(cents):
         iv = [int(x) for x in v]
-        out.append((j, iv, int(sum(x * x for x in iv))))
+        n2 = int(sum(x * x for x in iv))
+        if n2 == 0:
+            # zero-norm seed (degenerate corpus vector): pin the cell to a
+            # basis direction so its assignment cosine is still defined
+            iv = [1] + [0] * (len(iv) - 1)
+            n2 = 1
+        out.append((j, iv, n2))
     return out
 
 

@@ -429,11 +429,14 @@ def stratified_hash_sample(df: DataFrame, key_cols: Sequence[str],
 
     if n_per_key < 1:
         raise ValueError("n_per_key must be >= 1")
+    rk = "__rk"
+    while rk in df.columns:          # never clobber a caller column
+        rk = "_" + rk
     w = Window.partitionBy(*key_cols).orderBy(
         spark_h64(id_col).asc(), F.col(id_col).asc())
-    return (df.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= n_per_key)
-            .drop("__rk"))
+    return (df.withColumn(rk, F.row_number().over(w))
+            .where(F.col(rk) <= n_per_key)
+            .drop(rk))
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -39,6 +39,14 @@ from ddsketch_spark.operators.native import (
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def clear_table_cache() -> None:
+    """Invalidate memoized table handles. Call after rewriting a testdata
+    parquet file within a live Spark application — the cached DataFrame
+    pins the file listing captured at first read, so a later query would
+    otherwise read a stale list (or fail on deleted files)."""
+    _TABLE_CACHE.clear()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table handle, memoized per live session. ``spark.read.parquet``
     costs ~115 ms of driver time PER CALL (file listing + footer schema
@@ -46,7 +54,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with a known schema, so repeated-query workloads never re-pay it.
     DataFrames are immutable plan handles — sharing one across queries is
     safe, and execution (including the parquet scan) still runs cold per
-    action."""
+    action.
+
+    ASSUMES the testdata tables are immutable for the application's
+    lifetime (true for the driver/bench harness). Tools that rewrite a
+    table in-session must call :func:`clear_table_cache` first — the
+    cached plan holds the resolved file listing, not just the path."""
     # applicationId (not id(spark)): a stopped session's object id can be
     # reused by the allocator, but app ids are unique per JVM app
     key = (spark.sparkContext.applicationId, sf_dir, name)
@@ -502,13 +515,22 @@ def _gather_estimates(df, factory, from_bytes, weight_col=None):
     """Stage-1 partials + driver-side gather-merge + kernel quantile
     extraction: the global-aggregate analogue of ``treeAggregate``'s final
     gather (and of the reference's PG Gather node). Collected rows are one
-    kilobyte-scale partial per scan partition — for scans with 10k+ tasks,
-    insert one executor pre-merge round (``merge_partials`` with
-    ``merge_fanout``) to bound the gather. vs merging on an executor
-    (groupBy().applyInPandas): one fewer shuffle+Python stage and no
-    1-row extraction job — measured 1.23s -> 0.85s interleaved at sf0.1."""
-    parts = sketch_partials(df, "v", factory=factory,
-                            weight_col=weight_col).collect()
+    kilobyte-scale partial per scan partition; for scans with more map
+    tasks than ``AUTO_FANOUT_THRESHOLD`` (10k-task scans at 100 TB) an
+    executor pre-merge round is inserted AUTOMATICALLY
+    (``auto_merge_fanout``), bounding the gather to ~sqrt(tasks) rows.
+    vs merging on an executor (groupBy().applyInPandas): one fewer
+    shuffle+Python stage and no 1-row extraction job — measured
+    1.23s -> 0.85s interleaved at sf0.1."""
+    from ddsketch_spark.operators.aggregate import (
+        auto_merge_fanout, premerge_partials)
+
+    parts_df = sketch_partials(df, "v", factory=factory,
+                               weight_col=weight_col)
+    fan = auto_merge_fanout(df.rdd.getNumPartitions())
+    if fan:
+        parts_df = premerge_partials(parts_df, fan, from_bytes)
+    parts = parts_df.collect()
     acc = None
     for r in parts:
         s = from_bytes(bytes(r["sketch"]))
@@ -674,8 +696,11 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 def dedup_cosine_pairs(spark, sf_dir):
+    """Exactness baseline (explicit exact=True opt-in): the O(n^2)
+    self-join; the default cosine_dup_pairs path is the LSH bucket
+    equi-join exercised by dedup_cosine_pairs_lsh."""
     return cosine_dup_pairs(_t(spark, sf_dir, "embeddings"),
-                            COS_DUP_THRESHOLD)
+                            COS_DUP_THRESHOLD, exact=True)
 
 
 def dedup_cosine_pairs_lsh(spark, sf_dir):

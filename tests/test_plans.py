@@ -87,6 +87,25 @@ def test_ann_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_cosine_dup_default_path_not_quadratic(spark):
+    """cosine_dup_pairs defaults to the LSH bucket equi-join: the default
+    plan must contain NO CartesianProduct / BroadcastNestedLoopJoin (the
+    O(n^2) self-join is reachable only via exact=True, r3 review item 5)."""
+    from ddsketch_spark.operators.similarity import cosine_dup_pairs
+
+    rng = np.random.default_rng(5)
+    emb = pd.DataFrame({
+        "vec_id": range(100),
+        "embedding": [rng.normal(0, 0.2, 16).astype(np.float32).tolist()
+                      for _ in range(100)],
+    })
+    df = spark.createDataFrame(emb)
+    plan = _plan(cosine_dup_pairs(df, 0.9))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
+    exact_plan = _plan(cosine_dup_pairs(df, 0.9, exact=True))
+    assert "NestedLoop" in exact_plan or "Cartesian" in exact_plan
+
+
 def test_partial_aggregation_bounds_shuffle(spark, pages_path):
     """The shuffle between partial and final aggregate carries bucket rows,
     not raw rows: verified by the Exchange sitting between two

@@ -71,6 +71,40 @@ def test_merge_fanout_identical(data):
            {r["k"]: bytes(r["sketch"]) for r in fan}
 
 
+def test_auto_merge_fanout_threshold():
+    from ddsketch_spark.operators.aggregate import auto_merge_fanout
+
+    assert auto_merge_fanout(1) is None
+    assert auto_merge_fanout(512) is None          # at the threshold: gather
+    assert auto_merge_fanout(513) == 23            # ceil(sqrt(513))
+    assert auto_merge_fanout(10_000) == 100        # 10k-task scan -> 100
+    assert auto_merge_fanout(100_000_000) == 4096  # capped
+    assert auto_merge_fanout(8, threshold=4) == 3  # threshold override
+
+
+def test_premerge_partials_identical_result(data):
+    """An executor pre-merge round must not change the final sketch —
+    same guarantee as merge_fanout, exercised through the standalone
+    premerge_partials used by the auto-escalating gather path."""
+    from ddsketch_spark.core.ddsketch import from_bytes as dd_from_bytes
+    from ddsketch_spark.operators.aggregate import (
+        premerge_partials, sketch_partials)
+
+    df, pdf = data
+    parts = sketch_partials(df.repartition(16), "v")
+    pre = premerge_partials(parts, 3, dd_from_bytes)
+    rows = pre.collect()
+    assert 1 <= len(rows) <= 3          # bounded by the fanout
+    assert all(r["part_id"] < 3 for r in rows)
+    acc = None
+    for r in rows:
+        s = DDSketch.from_bytes(bytes(r["sketch"]))
+        acc = s if acc is None else acc.merge(s)
+    want = kernel_sketch(pdf["v"].to_numpy(dtype="float64"))
+    assert acc == want
+    assert sum(r["n"] for r in rows) == len(pdf)
+
+
 def test_weighted_agg(data):
     df, pdf = data
     out = sketch_agg(df, "v", weight_col="w").collect()[0]
