@@ -84,7 +84,11 @@ def sketch_partials(
     # corrupted hashes. NULLs contribute nothing to a hash sketch, so the
     # filter is semantics-preserving; the float path keeps NULL rows (they
     # arrive as NaN and the kernels skip them, with n still counting them).
-    if getattr(factory(), "input_dtype", "float64") == "int64":
+    input_dtype = getattr(factory(), "input_dtype", "float64")
+    if input_dtype in ("int64", "object"):
+        # NULL items contribute nothing to hash/item sketches; dropping
+        # them JVM-side keeps the Python batch dense (and for int64 avoids
+        # the nullable->float64 corruption described below)
         projected = projected.where(F.col(value_col).isNotNull())
     if fanout and fanout > 1:
         projected = projected.repartition(fanout)
@@ -100,14 +104,17 @@ def sketch_partials(
     )
 
     # kernels declare their input dtype ('float64' default; hash-based
-    # sketches take pre-hashed 'int64' columns — hashing stays JVM-side)
-    int_input = getattr(factory(), "input_dtype", "float64") == "int64"
+    # sketches take pre-hashed 'int64' columns — hashing stays JVM-side;
+    # item sketches like SpaceSaving take raw 'object' strings)
+    int_input = input_dtype == "int64"
+    obj_input = input_dtype == "object"
 
     def _extract(gdf: pd.DataFrame):
-        if int_input:
+        if int_input or obj_input:
             sub = gdf[[value_col] + ([weight_col] if weight_col else [])].dropna(
                 subset=[value_col])
-            vals = sub[value_col].to_numpy(dtype="int64")
+            vals = sub[value_col].to_numpy(
+                dtype="object" if obj_input else "int64")
             wts = (sub[weight_col].to_numpy(dtype="float64", na_value=float("nan"))
                    if weight_col else None)
         else:

@@ -840,6 +840,51 @@ def tokens_top5_by_lang(spark, sf_dir):
             .where(F.col("rk") <= 5))
 
 
+TOPK_SS_CAPACITY = 4096
+
+
+def tokens_topk_sketched(spark, sf_dir):
+    """rk, token, ok — heavy hitters via the mergeable SpaceSaving sketch
+    (core/spacesaving.py): the O(capacity)-state replacement for the exact
+    ``groupBy(token)`` top-k, whose per-key state is O(vocabulary) —
+    billions of counters at web scale (r3 verdict item 2).
+
+    Job 1 builds per-partition SpaceSaving partials over the token stream
+    (same 2-stage contract as every sketch: kilobyte partials, gather,
+    driver merge — auto pre-merge round beyond 512 tasks). Job 2 is the
+    VERIFICATION pass only: it computes the exact top-k and checks each
+    true heavy hitter against the sketch's (I1) bound envelope —
+    monitored, cnt >= true, cnt - err <= true. At 100 TB you ship the
+    sketch's own topk() and skip job 2; here the bounds become the
+    driver-checked rows (the bound-check pattern of the KLL/t-digest
+    rank rows, oracles.bound_rows_sql)."""
+    from ddsketch_spark.core.spacesaving import SpaceSaving
+    from ddsketch_spark.core.spacesaving import from_bytes as ss_from_bytes
+    from ddsketch_spark.operators.aggregate import (
+        auto_merge_fanout, premerge_partials)
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    parts_df = sketch_partials(
+        toks, "token", factory=lambda: SpaceSaving(TOPK_SS_CAPACITY))
+    fan = auto_merge_fanout(toks.rdd.getNumPartitions())
+    if fan:
+        parts_df = premerge_partials(parts_df, fan, ss_from_bytes)
+    acc = None
+    for r in parts_df.collect():
+        s = ss_from_bytes(bytes(r["sketch"]))
+        acc = s if acc is None else acc.merge(s)
+    truth = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("token").asc())
+             .limit(TOPK_TOKENS).collect())
+    rows = []
+    for rk, r in enumerate(truth, 1):
+        e = acc.get(r["token"]) if acc is not None else None
+        ok = (e is not None and e[0] >= r["cnt"] and e[0] - e[1] <= r["cnt"])
+        rows.append((rk, r["token"], bool(ok)))
+    return spark.createDataFrame(rows, "rk long, token string, ok boolean")
+
+
 RESIZE_W, RESIZE_H, FRAME_EVERY = 16, 4, 2
 
 
@@ -940,6 +985,7 @@ QUERIES: dict[str, Callable] = {
     "text_profile_docs": text_profile_docs,
     "tokens_top10": tokens_top10,
     "tokens_top5_by_lang": tokens_top5_by_lang,
+    "tokens_topk_sketched": tokens_topk_sketched,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
     "ann_ivf_cosine_topk": ann_ivf_cosine_topk,
@@ -1077,6 +1123,15 @@ ORACLES: dict[str, str] = {
         "SELECT token, CAST(count(*) AS BIGINT) AS cnt "
         "FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
         "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10"),
+    # exact top-k identity + TRUE bound flags: a broken SpaceSaving (lost
+    # heavy hitter / bound violation) flips ok and the hash compare fails
+    "tokens_topk_sketched": (
+        "SELECT rk, token, TRUE AS ok FROM ("
+        "  SELECT token, CAST(row_number() OVER ("
+        "    ORDER BY count(*) DESC, token ASC) AS BIGINT) AS rk"
+        "  FROM (SELECT unnest(string_split(text, ' ')) AS token"
+        "        FROM documents) GROUP BY token) t"
+        f" WHERE rk <= {TOPK_TOKENS}"),
     "ann_cosine_topk": oracles.ann_topk_sql(ANN_N_QUERIES, ANN_K),
     "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
     "ann_ivf_cosine_topk": oracles.ann_ivf_topk_sql(

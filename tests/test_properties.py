@@ -133,3 +133,53 @@ def test_bloom_no_false_negatives(salt, n_keys):
     s = Bloom(1 << 14, 5)
     s.update(np.array(keys, dtype=np.int64))
     assert all(s.contains(np.array(keys, dtype=np.int64)))
+
+
+# ----------------------------------------------------------- SpaceSaving
+
+from collections import Counter
+
+from ddsketch_spark.core.spacesaving import SpaceSaving
+
+
+@given(st.data(),
+       st.integers(2, 64),                       # capacity
+       st.integers(1, 6))                        # number of partials
+@settings(max_examples=40, deadline=None)
+def test_spacesaving_bounds_under_random_merge_trees(data, capacity, nparts):
+    """The (I1)-(I3) invariant envelope (true <= cnt <= true+err for
+    monitored; true <= floor for unmonitored) must survive ANY merge tree
+    over ANY partitioning of ANY stream — the merge-guarantee property the
+    r3 verdict asked to pin (SpaceSaving is deliberately not bit-for-bit
+    order-independent, so the envelope IS its merge contract)."""
+    stream = data.draw(st.lists(
+        st.sampled_from([f"w{i}" for i in range(30)]),
+        min_size=0, max_size=300))
+    # random contiguous split into nparts chunks
+    cuts = sorted(data.draw(st.lists(
+        st.integers(0, len(stream)), min_size=nparts - 1,
+        max_size=nparts - 1)))
+    chunks, prev = [], 0
+    for c in cuts + [len(stream)]:
+        chunks.append(stream[prev:c])
+        prev = c
+    parts = [SpaceSaving(capacity).update(np.array(ch, dtype=object))
+             for ch in chunks]
+    # random merge tree: repeatedly merge two random entries
+    while len(parts) > 1:
+        i = data.draw(st.integers(0, len(parts) - 2))
+        a = parts.pop(i)
+        b = parts.pop(data.draw(st.integers(0, len(parts) - 1)))
+        parts.insert(0, a.merge(b))
+    s = parts[0]
+    truth = Counter(stream)
+    assert s.total == len(stream)
+    for x, (cnt, err) in s.counters.items():
+        t = truth.get(x, 0)
+        assert t <= cnt <= t + err
+        assert cnt >= s.floor
+    for x, t in truth.items():
+        if x not in s.counters:
+            assert t <= s.floor
+    # serde is lossless at any state
+    assert SpaceSaving.from_bytes(s.to_bytes()) == s

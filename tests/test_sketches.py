@@ -281,3 +281,104 @@ def test_bit_length_exact_above_2_53():
     got = bit_length_u48(np.array(probes, dtype=np.int64))
     want = [int(p).bit_length() for p in probes]
     assert got.tolist() == want
+
+
+# ----------------------------------------------------------- SpaceSaving
+
+from collections import Counter
+
+from ddsketch_spark.core.spacesaving import SpaceSaving
+
+
+def _zipf_tokens(rng, n, vocab):
+    ranks = rng.zipf(1.3, n)
+    return [f"tok{min(int(r), vocab)}" for r in ranks]
+
+
+def _check_invariants(s, truth):
+    """(I1)-(I3) from the module docstring, against exact counts."""
+    for x, (cnt, err) in s.counters.items():
+        t = truth.get(x, 0)
+        assert t <= cnt <= t + err, (x, t, cnt, err)
+        assert cnt >= s.floor
+    for x, t in truth.items():
+        if x not in s.counters:
+            assert t <= s.floor, (x, t, s.floor)
+
+
+def test_spacesaving_exact_when_capacity_fits():
+    rng = np.random.default_rng(7)
+    toks = _zipf_tokens(rng, 5000, 200)
+    s = SpaceSaving(1024).update(np.array(toks, dtype=object))
+    truth = Counter(toks)
+    assert s.floor == 0 and s.total == len(toks)
+    assert {x: c[0] for x, c in s.counters.items()} == dict(truth)
+    assert all(c[1] == 0 for c in s.counters.values())
+
+
+def test_spacesaving_bounds_under_eviction():
+    rng = np.random.default_rng(8)
+    toks = _zipf_tokens(rng, 20000, 5000)
+    s = SpaceSaving(64)
+    # stream in several batches (exercises the lazy-heap path repeatedly)
+    for i in range(0, len(toks), 1500):
+        s.update(np.array(toks[i:i + 1500], dtype=object))
+    truth = Counter(toks)
+    _check_invariants(s, truth)
+    assert s.total == len(toks)
+    # classic guarantee: floor <= N / capacity for a single stream
+    assert s.floor <= len(toks) / 64
+    # every item above the floor threshold must be monitored
+    for x, t in truth.items():
+        if t > s.floor:
+            assert x in s.counters
+
+
+def test_spacesaving_merge_preserves_bounds():
+    rng = np.random.default_rng(9)
+    streams = [_zipf_tokens(rng, 8000, 3000) for _ in range(4)]
+    parts = [SpaceSaving(64).update(np.array(t, dtype=object))
+             for t in streams]
+    truth = Counter()
+    for t in streams:
+        truth.update(t)
+    # left-fold merge
+    acc = SpaceSaving.from_bytes(parts[0].to_bytes())
+    for p in parts[1:]:
+        acc.merge(p)
+    _check_invariants(acc, truth)
+    assert acc.total == sum(len(t) for t in streams)
+    # tree merge: ((0+1)+(2+3)) must satisfy the same envelope
+    l = SpaceSaving.from_bytes(parts[0].to_bytes()).merge(parts[1])
+    r = SpaceSaving.from_bytes(parts[2].to_bytes()).merge(parts[3])
+    _check_invariants(l.merge(r), truth)
+
+
+def test_spacesaving_weighted():
+    s = SpaceSaving(4)
+    s.update(np.array(["a", "b", "a"], dtype=object),
+             np.array([5, 2, 3], dtype=np.int64))
+    assert s.get("a") == (8, 0) and s.get("b") == (2, 0)
+    assert s.total == 10
+    with pytest.raises(ValueError, match="positive"):
+        s.update(np.array(["c"], dtype=object), np.array([0]))
+
+
+def test_spacesaving_serde_roundtrip_and_topk():
+    rng = np.random.default_rng(10)
+    toks = _zipf_tokens(rng, 9000, 2000)
+    s = SpaceSaving(128).update(np.array(toks, dtype=object))
+    s2 = SpaceSaving.from_bytes(s.to_bytes())
+    assert s2 == s
+    top = s.topk(10)
+    assert len(top) == 10
+    cnts = [c for _, c, _ in top]
+    assert cnts == sorted(cnts, reverse=True)
+    with pytest.raises(ValueError, match="invalid SpaceSaving"):
+        SpaceSaving.from_bytes(b"XXXX" + s.to_bytes()[4:])
+
+
+def test_spacesaving_capacity_mismatch_merge_errors():
+    a, b = SpaceSaving(8), SpaceSaving(16)
+    with pytest.raises(ValueError, match="different capacities"):
+        a.merge(b)

@@ -159,3 +159,59 @@ def test_hash_sketch_with_nulls_not_degraded(spark):
         [py_h64(str(i)) for i in range(5000) if i % 100 != 0], dtype=np.int64))
     assert got == want
     assert abs(got.estimate() - 4950) / 4950 < 0.05
+
+
+def test_spacesaving_spark_partials_object_dtype(spark):
+    """SpaceSaving rides the same 2-stage pipeline with raw string items
+    (input_dtype='object'): stage-1 partials must carry exact per-partition
+    counts (capacity >> vocab), NULL tokens dropped JVM-side, and the
+    driver-side merge must satisfy the bound envelope vs exact counts."""
+    from collections import Counter
+
+    from ddsketch_spark.core.spacesaving import SpaceSaving
+    from ddsketch_spark.core.spacesaving import from_bytes as ss_from_bytes
+    from ddsketch_spark.operators.aggregate import sketch_partials
+
+    toks = [f"w{i % 37}" for i in range(4000)]
+    pdf = pd.DataFrame({"token": toks})
+    pdf.loc[::100, "token"] = None
+    df = spark.createDataFrame(pdf).repartition(8)
+    parts = sketch_partials(
+        df, "token", factory=lambda: SpaceSaving(256)).collect()
+    assert 1 <= len(parts) <= 8
+    acc = None
+    for r in parts:
+        s = ss_from_bytes(bytes(r["sketch"]))
+        acc = s if acc is None else acc.merge(s)
+    truth = Counter(t for t in pdf["token"] if t is not None)
+    # capacity 256 >= vocab 37 per partition: merge must be exact
+    assert acc.floor == 0
+    assert {x: c[0] for x, c in acc.counters.items()} == dict(truth)
+    assert acc.total == sum(truth.values())
+
+
+def test_spacesaving_spark_bounded_capacity(spark):
+    """Under real eviction pressure (capacity < per-partition vocab) the
+    merged sketch still satisfies (I1)-(I3) against exact truth."""
+    from collections import Counter
+
+    from ddsketch_spark.core.spacesaving import SpaceSaving
+    from ddsketch_spark.core.spacesaving import from_bytes as ss_from_bytes
+    from ddsketch_spark.operators.aggregate import sketch_partials
+
+    rng = np.random.default_rng(11)
+    toks = [f"z{min(int(r), 900)}" for r in rng.zipf(1.25, 30000)]
+    df = spark.createDataFrame(pd.DataFrame({"token": toks})).repartition(6)
+    parts = sketch_partials(
+        df, "token", factory=lambda: SpaceSaving(48)).collect()
+    acc = None
+    for r in parts:
+        s = ss_from_bytes(bytes(r["sketch"]))
+        acc = s if acc is None else acc.merge(s)
+    truth = Counter(toks)
+    for x, (cnt, err) in acc.counters.items():
+        t = truth.get(x, 0)
+        assert t <= cnt <= t + err
+    for x, t in truth.items():
+        if x not in acc.counters:
+            assert t <= acc.floor
