@@ -279,7 +279,23 @@ class DDSketch:
             self.alpha = other.alpha
             self._set_params()
         if self.alpha != other.alpha:
-            raise ValueError("can't merge sketches with different alpha values")
+            # UDDSketch collapse mode: alphas that diverged because one
+            # side collapsed more times lie on the SAME deterministic
+            # alpha chain (a -> 2a/(1+a^2)), so the finer side can be
+            # collapsed until the levels meet — this is what makes the
+            # distributed aggregation merge-safe when partials overflow a
+            # different number of times. In reference ('error') mode the
+            # reference's alpha-mismatch error stands.
+            if self.on_overflow == "collapse" and other.on_overflow == "collapse":
+                other = other.copy()   # never mutate the caller's sketch
+                for _ in range(64):
+                    if self.alpha == other.alpha:
+                        break
+                    finer = self if self.alpha < other.alpha else other
+                    finer._collapse()
+            if self.alpha != other.alpha:
+                raise ValueError(
+                    "can't merge sketches with different alpha values")
         self.maxbuckets = max(self.maxbuckets, other.maxbuckets)
         for name in ("neg", "pos"):
             mine, theirs = getattr(self, name), getattr(other, name)
@@ -289,6 +305,23 @@ class DDSketch:
         self.zero_count += other.zero_count
         self._enforce_maxbuckets()
         return self
+
+    def with_maxbuckets(self, maxbuckets: int) -> "DDSketch":
+        """Copy with a tighter bucket budget, collapsing (UDDSketch uniform
+        collapse) until the store fits — the storage-downgrade operation:
+        re-compress an archived fine sketch to a coarser budget without
+        touching raw data. The result is a deterministic function of the
+        bucket multiset (ceil-halving is exact integer math), independent
+        of how the input sketch was built."""
+        if maxbuckets < MIN_SKETCH_BUCKETS or maxbuckets > MAX_SKETCH_BUCKETS:
+            raise ValueError(
+                f"invalid number of buckets {maxbuckets}, must be in "
+                f"[{MIN_SKETCH_BUCKETS}, {MAX_SKETCH_BUCKETS}]")
+        s = self.copy()
+        s.on_overflow = "collapse"
+        s.maxbuckets = maxbuckets
+        s._enforce_maxbuckets()
+        return s
 
     def copy(self) -> "DDSketch":
         # Same workaround as from_bytes: a collapsed sketch (UDDSketch
@@ -654,10 +687,10 @@ class DDSketch:
         )
 
 
-def from_bytes(data: bytes) -> DDSketch:
+def from_bytes(data: bytes, on_overflow: str = "error") -> DDSketch:
     """Module-level alias of :meth:`DDSketch.from_bytes` — plain functions
     pickle by reference into Spark closures, bound classmethods don't."""
-    return DDSketch.from_bytes(data)
+    return DDSketch.from_bytes(data, on_overflow)
 
 
 def union(a: DDSketch | None, b: DDSketch | None) -> DDSketch | None:

@@ -77,6 +77,21 @@ def sketch_trimmed(col, low: float, high: float, kind: str) -> Column:
     return _t(col)
 
 
+def sketch_collapse(col, maxbuckets: int) -> Column:
+    """Re-compress stored sketches to a tighter bucket budget via
+    UDDSketch uniform collapse (core/ddsketch.py with_maxbuckets; the
+    overflow fix the reference README names at README.md:19-26) — the
+    storage-downgrade scalar: archived fine-alpha sketches shrink to a
+    coarser budget without touching raw data. Deterministic: ceil-halving
+    of integer bucket indexes, independent of build/merge order."""
+    @F.pandas_udf(BinaryType())
+    def _cl(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: DDSketch.from_bytes(bytes(b))
+                     .with_maxbuckets(maxbuckets).to_bytes()
+                     if b is not None else None)
+    return _cl(col)
+
+
 def sketch_count(col) -> Column:
     """Total item count — ddsketch_count (ddsketch.c:3032-3038). Reads the
     count straight out of the canonical header, no full deserialization."""

@@ -114,6 +114,84 @@ SELECT {ksel}q, est FROM hits WHERE rn = 1
 """
 
 
+def uddsketch_alpha_chain(alpha0: float, levels: int) -> list[float]:
+    """alpha after 0..levels uniform collapses — the exact float recurrence
+    of DDSketch._collapse (a -> 2a/(1+a^2)), so oracle constants are
+    bit-identical to the kernel's."""
+    out, a = [float(alpha0)], float(alpha0)
+    for _ in range(levels):
+        a = 2.0 * a / (1.0 + a * a)
+        if a >= 1.0:      # chain fixpoint: gamma would be infinite
+            break
+        out.append(a)
+    return out
+
+
+def collapsed_percentile_sql(table: str, value_expr: str, alpha0: float,
+                             maxbuckets: int, qs: Sequence[float],
+                             max_levels: int = 8) -> str:
+    """Rows ``q, est, nb`` — quantiles of a sketch built at ``alpha0`` then
+    UDDSketch-collapsed until its non-zero bucket count fits
+    ``maxbuckets`` (mirror of DDSketch.with_maxbuckets / _collapse).
+
+    The collapse level j* is data-dependent but replayable: level-j bucket
+    of a value is the exact integer ``ceil(bidx0 / 2^j)`` of its level-0
+    bucket (iterated ceil-halving identity), so the SQL computes level-0
+    buckets with the standard mapping, derives every candidate level's
+    bucket count, picks the smallest feasible level, and walks quantiles
+    with that level's (multiplier, representative) constants — all emitted
+    as full-precision Python literals from the same recurrence the kernel
+    runs. ``nb`` is the surviving bucket count, pinning that a collapse
+    actually happened."""
+    alphas = uddsketch_alpha_chain(alpha0, max_levels)
+    lv_rows = []
+    for j, a in enumerate(alphas):
+        gamma, mult, _, _ = mapping_params(a)
+        rep = 2.0 / (1.0 + gamma)
+        lv_rows.append(f"({j}, {_lit(mult)}, {_lit(rep)})")
+    cte, _, _ = _base_ctes(table, value_expr, alpha0, [], None)
+    goals = ", ".join(f"({_lit(float(q))})" for q in qs)
+    return f"""
+WITH {cte},
+lv(j, mult, rep) AS (VALUES {", ".join(lv_rows)}),
+counts AS (
+  SELECT j, count(DISTINCT cidx * 4 + part) AS nb FROM (
+    SELECT l.j AS j, b.part AS part,
+           CAST(ceil(CAST(b.bidx AS DOUBLE) / pow(2.0, CAST(l.j AS DOUBLE))) AS BIGINT) AS cidx
+    FROM buckets b CROSS JOIN lv l WHERE b.part <> 1) z
+  GROUP BY j),
+jstar AS (SELECT min(j) AS j FROM counts WHERE nb <= {maxbuckets}),
+cb AS (
+  SELECT b.part AS part,
+         CASE WHEN b.part = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ceil(CAST(b.bidx AS DOUBLE) / pow(2.0, CAST(s.j AS DOUBLE))) AS BIGINT)
+         END AS cidx,
+         CAST(sum(b.c) AS BIGINT) AS c
+  FROM buckets b CROSS JOIN jstar s
+  GROUP BY 1, 2),
+walked AS (
+  SELECT part, cidx, c,
+         sum(c) OVER (ORDER BY part ASC, CASE WHEN part = 0 THEN -cidx ELSE cidx END ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cb),
+hits AS (
+  SELECT g.q AS q,
+         CASE w.part WHEN 1 THEN 0.0
+              WHEN 0 THEN -(pow(2.0, CAST(w.cidx AS DOUBLE) / l.mult) * l.rep)
+              ELSE pow(2.0, CAST(w.cidx AS DOUBLE) / l.mult) * l.rep END AS est,
+         row_number() OVER (PARTITION BY g.q
+                            ORDER BY w.part ASC,
+                                     CASE WHEN w.part = 0 THEN -w.cidx ELSE w.cidx END ASC) AS rn
+  FROM walked w CROSS JOIN totals t CROSS JOIN jstar s
+       JOIN lv l ON l.j = s.j
+       CROSS JOIN (VALUES {goals}) g(q)
+  WHERE w.cum > g.q * (t.n - 1))
+SELECT q, est,
+       (SELECT CAST(c2.nb AS BIGINT) FROM counts c2, jstar s2 WHERE c2.j = s2.j) AS nb
+FROM hits WHERE rn = 1
+"""
+
+
 def rank_of_sql(table: str, value_expr: str, alpha: float, x: float,
                 keys: Sequence[str] = (), weight_expr: str | None = None) -> str:
     """Rows ``keys..., rank`` — mirror of ddsketch_compute_quantiles_of for a

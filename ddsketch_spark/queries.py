@@ -155,6 +155,36 @@ def dd_trimmed_sum_price(spark, sf_dir):
     return out.select(F.round(F.col("raw"), 4).alias("val"))
 
 
+COLLAPSE_QS = [0.1, 0.5, 0.9, 0.99]
+COLLAPSE_MAXBUCKETS = 24
+
+
+def dd_collapsed_quantiles_price(spark, sf_dir):
+    """q, est, nb — UDDSketch uniform collapse end-to-end (the overflow
+    fix the reference README names at README.md:19-26; our extension
+    SURVEY §7.0): build at alpha=0.01 (hundreds of buckets), then
+    re-compress to a 24-bucket budget via sketch_collapse — the sketch
+    halves its resolution (gamma -> gamma^2) until it fits — and extract
+    quantiles from the collapsed store. ``nb`` pins that the collapse
+    actually ran (nb <= 24 << the fine bucket count). The oracle replays
+    the data-dependent collapse level in SQL via the exact integer
+    ceil-halving identity (oracles.collapsed_percentile_sql)."""
+    from ddsketch_spark.functions.sketch_udfs import sketch_collapse
+
+    df = _t(spark, sf_dir, "lineitem")
+    built = api.ddsketch(df, "l_extendedprice", 0.01, 2048)
+    coll = built.select(
+        sketch_collapse(F.col("sketch"), COLLAPSE_MAXBUCKETS).alias("sketch"))
+    qarr = F.array(*[F.lit(float(q)) for q in COLLAPSE_QS]).alias("q")
+    earr = sketch_quantile(F.col("sketch"), COLLAPSE_QS).alias("est")
+    info = sketch_info(F.col("sketch"))
+    nb = (info["negative_buckets"] + info["positive_buckets"]) \
+        .cast("long").alias("nb")
+    return (coll.select(F.explode(F.arrays_zip(qarr, earr)).alias("z"), nb)
+            .select(F.col("z.q").alias("q"), F.col("z.est").alias("est"),
+                    "nb"))
+
+
 def dd_reagg_p90_by_flag(spark, sf_dir):
     """Lifecycle B (README.md:121-124): pre-aggregate sketches at a finer
     grouping, then merge up and extract — must equal the direct build.
@@ -945,6 +975,7 @@ QUERIES: dict[str, Callable] = {
     "dd_trimmed_avg_price": dd_trimmed_avg_price,
     "dd_trimmed_sum_price": dd_trimmed_sum_price,
     "dd_reagg_p90_by_flag": dd_reagg_p90_by_flag,
+    "dd_collapsed_quantiles_price": dd_collapsed_quantiles_price,
     "dd_textlen_by_lang": dd_textlen_by_lang,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
     "dd_p90_events_hourly": dd_p90_events_hourly,
@@ -1014,6 +1045,9 @@ ORACLES: dict[str, str] = {
         "lineitem", "l_extendedprice", 0.05, 0.05, 0.95, "sum") + ")",
     "dd_reagg_p90_by_flag": oracles.percentile_sql(
         "lineitem", "l_extendedprice", 0.01, [0.9], keys=["l_returnflag"]),
+    "dd_collapsed_quantiles_price": oracles.collapsed_percentile_sql(
+        "lineitem", "l_extendedprice", 0.01, COLLAPSE_MAXBUCKETS,
+        COLLAPSE_QS),
     "dd_textlen_by_lang": oracles.percentile_sql(
         "documents", "CAST(length(text) AS DOUBLE)", 0.01,
         [0.5, 0.9, 0.99], keys=["lang"]),

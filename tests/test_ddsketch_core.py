@@ -410,3 +410,52 @@ def test_extreme_magnitudes_match_c_semantics():
     # serde survives the extreme indexes (int32 range is ample)
     assert DDSketch.from_bytes(s.to_bytes()) == s
     assert DDSketch.from_string(s.to_string()) == s
+
+
+def test_collapse_mode_merge_reconciles_levels():
+    """Merging collapse-mode sketches at DIFFERENT collapse levels must
+    collapse the finer side down the deterministic alpha chain instead of
+    raising the reference's alpha-mismatch error — what makes the
+    distributed aggregation merge-safe when partials overflow a different
+    number of times. Reference ('error') mode still raises."""
+    rng = np.random.default_rng(21)
+    a_vals = rng.uniform(1.0, 10.0, 2000)            # narrow: no collapse
+    b_vals = np.power(10.0, rng.uniform(-20, 20, 2000))  # wide: collapses
+    a = DDSketch(0.005, 32, on_overflow="collapse").update(a_vals)
+    b = DDSketch(0.005, 32, on_overflow="collapse").update(b_vals)
+    assert a.alpha != b.alpha                        # genuinely mixed levels
+    b_alpha_before = b.alpha
+    merged = a.copy().merge(b)
+    assert b.alpha == b_alpha_before                 # caller's sketch intact
+    assert merged.count == 4000
+    assert len(merged.neg) + len(merged.pos) <= 32
+    # order-insensitive: other direction gives the same final store
+    merged2 = b.copy().merge(a)
+    assert merged == merged2
+    # error mode keeps the reference semantics
+    ea = DDSketch(0.005, 1024).update(a_vals)
+    eb = ea.copy()
+    eb._collapse()
+    with pytest.raises(ValueError, match="different alpha"):
+        ea.merge(eb)
+
+
+def test_with_maxbuckets_deterministic_and_validated():
+    rng = np.random.default_rng(22)
+    vals = np.exp(rng.standard_normal(20000)) * 100
+    fine = DDSketch(0.01, 2048).update(vals)
+    nfine = len(fine.neg) + len(fine.pos)
+    coarse = fine.with_maxbuckets(24)
+    assert len(coarse.neg) + len(coarse.pos) <= 24 < nfine
+    assert coarse.count == fine.count
+    assert fine.maxbuckets == 2048                   # original untouched
+    # deterministic function of the bucket multiset: rebuild from any
+    # split of the data and collapse -> identical store
+    h1 = DDSketch(0.01, 2048).update(vals[:7000])
+    h2 = DDSketch(0.01, 2048).update(vals[7000:])
+    assert h1.merge(h2).with_maxbuckets(24) == coarse
+    # monotone estimates survive the collapse
+    qs = coarse.quantile([0.1, 0.5, 0.9, 0.99])
+    assert np.all(np.diff(qs) >= 0)
+    with pytest.raises(ValueError, match="invalid number of buckets"):
+        fine.with_maxbuckets(8)

@@ -345,3 +345,25 @@ def test_sibling_sql_function_surface(spark, data):
                from_bytes=kll_mod.from_bytes).createOrReplaceTempView("kll_t")
     est = spark.sql("SELECT kll_quantile(sketch, 0.5) AS m FROM kll_t").collect()[0]["m"]
     assert abs(np.mean(pdf["v"] <= est) - 0.5) < 0.1
+
+
+def test_collapse_mode_distributed_agg_matches_serial(spark):
+    """2-stage aggregation with a tiny collapse-mode bucket budget: each
+    partition's partial may collapse a different number of times; the
+    merge reconciles levels down the alpha chain and the final sketch
+    must equal the serial single-process build bit-for-bit."""
+    import functools
+
+    from ddsketch_spark.core.ddsketch import from_bytes as dd_from_bytes
+
+    rng = np.random.default_rng(23)
+    vals = np.power(10.0, rng.uniform(-12, 12, 30000))
+    df = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(16)
+    factory = lambda: DDSketch(0.01, 32, on_overflow="collapse")  # noqa: E731
+    fb = functools.partial(dd_from_bytes, on_overflow="collapse")
+    out = sketch_agg(df, "v", factory=factory, from_bytes=fb).collect()
+    got = DDSketch.from_bytes(bytes(out[0]["sketch"]), on_overflow="collapse")
+    want = DDSketch(0.01, 32, on_overflow="collapse").update(vals)
+    assert got == want
+    assert len(got.neg) + len(got.pos) <= 32
+    assert got.alpha > 0.01          # collapse genuinely happened
