@@ -205,6 +205,44 @@ def dd_reagg_p90_by_flag(spark, sf_dir):
          StructField("est", DoubleType(), True)])
 
 
+SKETCH_STORE_ROOT = "/root/repo/.scratch/sketch_store"
+
+
+def dd_sketch_store_roundtrip(spark, sf_dir):
+    """l_returnflag, q, est — reference lifecycle B THROUGH STORAGE
+    (README.md:121-139, the extension's headline story): CTAS the
+    fine-grained sketch table (one ~kB sketch row per (returnflag,
+    linestatus)) via the table layer, re-read it as a STORED table, and
+    merge+extract p90 per returnflag from the stored rows. Oracle equals
+    the direct build (merge associativity); what this row pins beyond
+    dd_reagg_p90_by_flag is the storage round-trip in the driver path:
+    canonical sketch bytes survive the writer/reader (parquet by
+    default, Iceberg via DDSKETCH_SPARK_TABLE_FORMAT) and the merge plan
+    scans the written table (plan-pinned in tests/test_plans.py), not
+    the in-memory lineage."""
+    import shutil
+    import uuid as _uuid_mod
+
+    from pyspark.sql.types import DoubleType, StructField
+
+    from ddsketch_spark.sources.tables import read_table, write_table
+
+    df = _t(spark, sf_dir, "lineitem")
+    fine = api.ddsketch(df, "l_extendedprice", 0.01, 2048,
+                        keys=["l_returnflag", "l_linestatus"])
+    shutil.rmtree(SKETCH_STORE_ROOT, ignore_errors=True)  # prior runs
+    path = f"{SKETCH_STORE_ROOT}/{_uuid_mod.uuid4().hex[:12]}"
+    write_table(fine, path)
+    stored = read_table(spark, path)
+    qs = [0.9]
+    return merge_sketches_extract(
+        stored, "sketch", ["l_returnflag"],
+        lambda s: {"q": [float(q) for q in qs],
+                   "est": [float(e) for e in s.quantile(qs)]},
+        [StructField("q", DoubleType(), False),
+         StructField("est", DoubleType(), True)])
+
+
 def dd_textlen_by_lang(spark, sf_dir):
     """The north-rule flagship shape verbatim: DDSketch of length(text)
     grouped by lang over the web-document table — p50/p90/p99 per
@@ -976,6 +1014,7 @@ QUERIES: dict[str, Callable] = {
     "dd_trimmed_sum_price": dd_trimmed_sum_price,
     "dd_reagg_p90_by_flag": dd_reagg_p90_by_flag,
     "dd_collapsed_quantiles_price": dd_collapsed_quantiles_price,
+    "dd_sketch_store_roundtrip": dd_sketch_store_roundtrip,
     "dd_textlen_by_lang": dd_textlen_by_lang,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
     "dd_p90_events_hourly": dd_p90_events_hourly,
@@ -1048,6 +1087,10 @@ ORACLES: dict[str, str] = {
     "dd_collapsed_quantiles_price": oracles.collapsed_percentile_sql(
         "lineitem", "l_extendedprice", 0.01, COLLAPSE_MAXBUCKETS,
         COLLAPSE_QS),
+    # storage round-trip must not change the merged result: oracle is the
+    # direct build (same SQL as dd_reagg_p90_by_flag)
+    "dd_sketch_store_roundtrip": oracles.percentile_sql(
+        "lineitem", "l_extendedprice", 0.01, [0.9], keys=["l_returnflag"]),
     "dd_textlen_by_lang": oracles.percentile_sql(
         "documents", "CAST(length(text) AS DOUBLE)", 0.01,
         [0.5, 0.9, 0.99], keys=["lang"]),

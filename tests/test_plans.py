@@ -193,3 +193,20 @@ def test_keyed_merge_single_exchange_single_python_stage(spark):
     assert "FlatMapGroupsInPandas" not in tree
     rows_out = merged.collect()
     assert {r["k"] for r in rows_out} == {"a", "b"}
+
+
+def test_sketch_store_roundtrip_scans_written_table(spark):
+    """Lifecycle B through storage: the merge plan must read the WRITTEN
+    sketch table (a scan of the scratch path), and the result must match
+    the in-memory re-aggregation row for row."""
+    from ddsketch_spark.queries import (
+        SKETCH_STORE_ROOT, dd_reagg_p90_by_flag, dd_sketch_store_roundtrip)
+
+    sf = "/root/testdata/sf0.001"
+    out = dd_sketch_store_roundtrip(spark, sf)
+    plan = _plan(out)
+    assert SKETCH_STORE_ROOT in plan, plan[:2000]
+    got = {(r["l_returnflag"], r["q"]): r["est"] for r in out.collect()}
+    want = {(r["l_returnflag"], r["q"]): r["est"]
+            for r in dd_reagg_p90_by_flag(spark, sf).collect()}
+    assert got == want
