@@ -411,24 +411,42 @@ class DDSketch:
                 )
         return out[0] if scalar else out
 
-    def _trimmed(self, low: float, high: float) -> tuple[float, int]:
+    def _trimmed(self, low: float, high: float,
+                 correct_negatives: bool = False) -> tuple[float, int]:
         """Reference trimmed aggregate — ddsketch.c:3687-3757, including its
         positive-domain quirk: buckets iterate in storage order (negative
         DESC then positive ASC) with the positive bound formula and the zero
-        bucket ignored; correct for all-positive data only."""
+        bucket ignored; correct for all-positive data only.
+
+        ``correct_negatives=True`` (our opt-in extension, r3 verdict item
+        8) walks buckets in true ascending-VALUE order with sign-correct
+        bounds — negative bucket i spans [-upper(i), -lower(i)] — and
+        includes the zero bucket, so trimmed sums/means are right on
+        zero-straddling data. Default stays reference-parity."""
         validate_trim(low, high)
         count_low = math.floor(self.count * low)
         count_high = math.ceil(self.count * high)
         ni, nc = self._neg_sorted()
         pi, pc = self._pos_sorted()
-        indexes = ni + pi
-        counts = nc + pc
+        if correct_negatives:
+            # ascending value: most-negative first (neg index DESC already),
+            # then the zero bucket, then positives
+            segments = [(-map_upper_bound(self.alpha, i),
+                         -map_lower_bound(self.alpha, i), n)
+                        for i, n in zip(ni, nc)]
+            if self.zero_count:
+                segments.append((0.0, 0.0, self.zero_count))
+            segments += [(map_lower_bound(self.alpha, i),
+                          map_upper_bound(self.alpha, i), n)
+                         for i, n in zip(pi, pc)]
+        else:
+            segments = [(map_lower_bound(self.alpha, i),
+                         map_upper_bound(self.alpha, i), n)
+                        for i, n in zip(ni + pi, nc + pc)]
         terms: list[float] = []
         kept = 0
         count_done = 0
-        for i, n in zip(indexes, counts):
-            bucket_from = map_lower_bound(self.alpha, i)
-            bucket_to = map_upper_bound(self.alpha, i)
+        for bucket_from, bucket_to, n in segments:
             count_skip = max(0, count_low - count_done - 1)
             count_skip = min(count_skip, n)
             count_add = n - count_skip
@@ -444,12 +462,14 @@ class DDSketch:
         # bit-for-bit (reference sums sequentially; result differs by <=1 ulp)
         return math.fsum(terms), kept
 
-    def trimmed_sum(self, low: float = 0.0, high: float = 1.0) -> float:
-        s, _ = self._trimmed(low, high)
+    def trimmed_sum(self, low: float = 0.0, high: float = 1.0,
+                    correct_negatives: bool = False) -> float:
+        s, _ = self._trimmed(low, high, correct_negatives)
         return s if self.count > 0 else float("nan")
 
-    def trimmed_avg(self, low: float = 0.0, high: float = 1.0) -> float:
-        s, n = self._trimmed(low, high)
+    def trimmed_avg(self, low: float = 0.0, high: float = 1.0,
+                    correct_negatives: bool = False) -> float:
+        s, n = self._trimmed(low, high, correct_negatives)
         return s / n if n > 0 else float("nan")
 
     # ------------------------------------------------------------------ introspection

@@ -62,8 +62,11 @@ def sketch_rank_of(col, x) -> Column:
     return _ra(col)
 
 
-def sketch_trimmed(col, low: float, high: float, kind: str) -> Column:
-    """Trimmed sum/avg — ddsketch.c:3764-3822 (positive-domain semantics)."""
+def sketch_trimmed(col, low: float, high: float, kind: str,
+                   correct_negatives: bool = False) -> Column:
+    """Trimmed sum/avg — ddsketch.c:3764-3822 (positive-domain semantics by
+    default; ``correct_negatives=True`` opts into the sign-correct
+    zero-straddling walk, core/ddsketch.py _trimmed)."""
     assert kind in ("sum", "avg")
 
     @F.pandas_udf(DoubleType())
@@ -72,7 +75,9 @@ def sketch_trimmed(col, low: float, high: float, kind: str) -> Column:
             if b is None:
                 return None
             sk = DDSketch.from_bytes(bytes(b))
-            return sk.trimmed_sum(low, high) if kind == "sum" else sk.trimmed_avg(low, high)
+            return (sk.trimmed_sum(low, high, correct_negatives)
+                    if kind == "sum"
+                    else sk.trimmed_avg(low, high, correct_negatives))
         return s.map(go)
     return _t(col)
 

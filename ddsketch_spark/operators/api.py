@@ -101,21 +101,27 @@ def ddsketch_percentile_of_from_sketches(df: DataFrame, sketch_col: str, x,
 def ddsketch_avg(df: DataFrame, value_col: str, alpha: float, nbuckets: int,
                  low: float, high: float, keys: Sequence[str] = (),
                  weight_col: str | None = None,
-                 alias: str = "avg") -> DataFrame:
-    """Aggregates #16/#17: trimmed mean."""
+                 alias: str = "avg",
+                 correct_negatives: bool = False) -> DataFrame:
+    """Aggregates #16/#17: trimmed mean (``correct_negatives=True`` opts
+    into the sign-correct zero-straddling walk; default reference-parity)."""
     validate_trim(low, high)
     built = ddsketch(df, value_col, alpha, nbuckets, keys, weight_col)
-    return _finalize(built, keys, sketch_trimmed(F.col("sketch"), low, high, "avg"), alias)
+    return _finalize(built, keys, sketch_trimmed(F.col("sketch"), low, high,
+                                                 "avg", correct_negatives), alias)
 
 
 def ddsketch_sum(df: DataFrame, value_col: str, alpha: float, nbuckets: int,
                  low: float, high: float, keys: Sequence[str] = (),
                  weight_col: str | None = None,
-                 alias: str = "sum") -> DataFrame:
-    """Aggregates #19/#20: trimmed sum."""
+                 alias: str = "sum",
+                 correct_negatives: bool = False) -> DataFrame:
+    """Aggregates #19/#20: trimmed sum (see ddsketch_avg on
+    ``correct_negatives``)."""
     validate_trim(low, high)
     built = ddsketch(df, value_col, alpha, nbuckets, keys, weight_col)
-    return _finalize(built, keys, sketch_trimmed(F.col("sketch"), low, high, "sum"), alias)
+    return _finalize(built, keys, sketch_trimmed(F.col("sketch"), low, high,
+                                                 "sum", correct_negatives), alias)
 
 
 def ddsketch_avg_from_sketches(df: DataFrame, sketch_col: str, low: float,

@@ -183,3 +183,34 @@ def test_spacesaving_bounds_under_random_merge_trees(data, capacity, nparts):
             assert t <= s.floor
     # serde is lossless at any state
     assert SpaceSaving.from_bytes(s.to_bytes()) == s
+
+
+@given(st.integers(0, 10_000),
+       st.sampled_from([(0.25, 0.75), (0.1, 0.9), (0.0, 1.0), (0.3, 0.6)]))
+@settings(max_examples=30, deadline=None)
+def test_trimmed_correct_negatives_on_zero_straddling_data(salt, trim):
+    """Opt-in sign-correct trimmed mean (r3 verdict item 8): on data that
+    straddles zero, trimmed_avg(correct_negatives=True) must track the
+    exact trimmed mean within a bucket-resolution tolerance, while the
+    DEFAULT (reference-parity positive-domain quirk, ddsketch.c:3687-3757)
+    stays bit-unchanged and is wildly off on the same data — pinning both
+    the fix and that we did not silently change reference behavior."""
+    lo, hi = trim
+    rng = np.random.default_rng(salt)
+    alpha = 0.01
+    v = np.concatenate([rng.uniform(-100, 100, 3000),
+                        rng.normal(0.0, 30.0, 3000)])
+    s = DDSketch(alpha, 4096).update(v)
+    sv = np.sort(v)
+    kept = sv[math.floor(len(v) * lo):math.ceil(len(v) * hi)]
+    exact = kept.mean()
+    est = s.trimmed_avg(lo, hi, correct_negatives=True)
+    tol = (2 * alpha * np.mean(np.abs(kept))
+           + 4 * max(abs(kept[0]), abs(kept[-1])) / len(kept))
+    assert abs(est - exact) <= tol
+    # the default path is untouched reference behavior (wrong on negatives
+    # by design) and the keyword default changes nothing
+    assert s.trimmed_avg(lo, hi) == s.trimmed_avg(lo, hi, correct_negatives=False)
+    # sum variant: same envelope scaled by the kept count
+    est_sum = s.trimmed_sum(lo, hi, correct_negatives=True)
+    assert abs(est_sum - kept.sum()) <= tol * len(kept)
