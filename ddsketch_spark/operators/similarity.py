@@ -185,7 +185,8 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int,
 
 def ivf_codebook(df: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
                  emb_col: str = "embedding", refine_iters: int = 0,
-                 sample_n: int = 4096) -> list[tuple[int, list[int], int]]:
+                 sample_n: int = 4096,
+                 balance: float | None = 2.5) -> list[tuple[int, list[int], int]]:
     """Deterministic IVF coarse quantizer: the ``n_cells`` corpus vectors
     with the smallest ``(h64(id), id)`` become cell seeds (k-means++-style
     sampled init). Returns ``[(cell, quantized_centroid, norm2), ...]`` —
@@ -202,7 +203,17 @@ def ivf_codebook(df: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
     assignment, probes, exact re-ranking — is unchanged. The oracle-paired
     driver query keeps ``refine_iters=0`` (seed selection is replayable in
     SQL; float means are not); refined-codebook recall is pinned by pytest
-    instead."""
+    instead.
+
+    ``balance`` (refinement only): if any cell attracts more than
+    ``balance`` times the even share of the training sample, the emptiest
+    cell's centroid is re-seeded on the oversized cell's farthest member
+    before the Lloyd mean step — standard empty/fat-cluster handling.
+    Oversized cells don't skew the JOIN (probes broadcast; the corpus
+    never shuffles) but they inflate every probing query's candidate set,
+    which is the term that dominates scan cost at scale; capping them
+    keeps candidates ~ nprobe/n_cells of the corpus. Deterministic given
+    the deterministic sample."""
     from ddsketch_spark.core.hashing import spark_h64
 
     q = with_quantized(df, emb_col)
@@ -222,6 +233,14 @@ def ivf_codebook(df: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
         c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
         for _ in range(refine_iters):
             assign = np.argmax(unit @ c.T, axis=1)       # cosine argmax
+            counts = np.bincount(assign, minlength=n_cells)
+            if balance and counts.max() > balance * len(unit) / n_cells:
+                big = int(np.argmax(counts))
+                small = int(np.argmin(counts))
+                members = unit[assign == big]
+                far = int(np.argmin(members @ c[big]))   # lowest cosine
+                c[small] = members[far]
+                assign = np.argmax(unit @ c.T, axis=1)
             for j in range(n_cells):
                 members = unit[assign == j]
                 if len(members):                          # empty cell keeps
@@ -305,7 +324,8 @@ def ivf_probe(queries: DataFrame, codebook, nprobe: int,
 def ann_ivf_topk(df: DataFrame, queries: DataFrame, k: int,
                  n_cells: int = 8, nprobe: int = 2,
                  id_col: str = "vec_id", emb_col: str = "embedding",
-                 refine_iters: int = 0) -> DataFrame:
+                 refine_iters: int = 0,
+                 balance: float | None = 2.5) -> DataFrame:
     """``query_id, rank, neighbor_id`` — IVF approximate top-k: candidates
     are corpus vectors whose cell is one of the query's ``nprobe`` closest
     cells. vs the random-hyperplane LSH path: the quantizer is trained on
@@ -321,7 +341,7 @@ def ann_ivf_topk(df: DataFrame, queries: DataFrame, k: int,
     from pyspark.sql.window import Window
 
     codebook = ivf_codebook(df, n_cells, id_col, emb_col,
-                            refine_iters=refine_iters)
+                            refine_iters=refine_iters, balance=balance)
     corpus = ivf_assign(df, codebook, id_col, emb_col).select(
         F.col("id").alias("neighbor_id"), "cell",
         F.col("qv").alias("qb"), F.col("n2").alias("nb"))

@@ -231,6 +231,47 @@ def test_ivf_lloyd_refinement_improves_recall_on_clustered_data(spark):
     assert refined >= 0.9, (plain, refined)
 
 
+def test_ivf_balance_caps_fat_cells(spark):
+    """Cell-balance handling (r3 verdict item 7): on a skewed corpus where
+    one cluster holds most of the mass, refinement WITH the balance
+    re-seed must shrink the biggest cell vs balance=None — the biggest
+    cell bounds every probing query's candidate-set cost — while recall
+    stays at the floor."""
+    from ddsketch_spark.operators.similarity import (
+        ann_ivf_topk, ivf_assign, ivf_codebook)
+
+    rng = np.random.default_rng(29)
+    centers = rng.normal(0, 1.0, (8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(1200):
+        # 70% of the corpus in cluster 0, the rest spread over 7 clusters
+        c = centers[0] if i % 10 < 7 else centers[1 + i % 7]
+        vecs.append((c + rng.normal(0, 0.12, 32)).astype(np.float32).tolist())
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(1200), "embedding": vecs}))
+
+    def max_cell(balance):
+        cb = ivf_codebook(df, 8, refine_iters=4, sample_n=1024,
+                          balance=balance)
+        return ivf_assign(df, cb).groupBy("cell").count() \
+            .agg(F.max("count")).collect()[0][0]
+
+    fat = max_cell(None)
+    capped = max_cell(2.5)
+    assert capped < fat, (capped, fat)
+    assert capped <= 0.5 * 1200, capped     # biggest cell under half the corpus
+
+    qs = df.where(F.col("vec_id") < 8)
+    bf = cosine_topk(df, qs, 5).toPandas()
+    want = {qid: set(g["neighbor_id"]) for qid, g in bf.groupby("query_id")}
+    out = ann_ivf_topk(df, qs, 5, n_cells=8, nprobe=3, refine_iters=4,
+                       balance=2.5).toPandas()
+    hit = sum(len(set(g["neighbor_id"]) & want[qid])
+              for qid, g in out.groupby("query_id"))
+    assert hit / (len(want) * 5) >= 0.9
+
+
 NEW_QUERIES = [
     "dedup_exact_docs", "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "dedup_simhash_docs", "dedup_simhash_pairs", "dedup_cosine_pairs",

@@ -29,7 +29,12 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--data", default="/tmp/ddsketch_ann_probe")
+    ap.add_argument("--sweep", default="64:8",
+                    help="comma-separated n_cells:nprobe pairs, e.g. "
+                         "'64:4,64:8,128:8,256:16'")
     args = ap.parse_args()
+    args.sweep = [tuple(int(x) for x in p.split(":"))
+                  for p in args.sweep.split(",")]
 
     import numpy as np
     import pandas as pd
@@ -80,14 +85,39 @@ def main() -> None:
         return round(hit / (len(want) * args.k), 4)
 
     lsh, t_lsh = timed(lambda: ann_lsh_topk(emb, qs, args.k))
-    ivf, t_ivf = timed(lambda: ann_ivf_topk(
-        emb, qs, args.k, n_cells=64, nprobe=8, refine_iters=3))
+
+    def cell_stats(n_cells, refine_iters):
+        """Cell-size distribution of the full corpus under a codebook —
+        the candidate-set-cost term the balance heuristic caps."""
+        from ddsketch_spark.operators.similarity import ivf_assign, ivf_codebook
+
+        cb = ivf_codebook(emb, n_cells, refine_iters=refine_iters)
+        sizes = (ivf_assign(emb, cb).groupBy("cell").count()
+                 .toPandas()["count"])
+        return {"max_cell": int(sizes.max()),
+                "mean_cell": int(sizes.mean()),
+                "max_over_even": round(float(sizes.max())
+                                       / (args.n_corpus / n_cells), 2)}
+
+    sweep = []
+    for n_cells, nprobe in args.sweep:
+        ivf, t_ivf = timed(lambda: ann_ivf_topk(
+            emb, qs, args.k, n_cells=n_cells, nprobe=nprobe,
+            refine_iters=3))
+        sweep.append({
+            "n_cells": n_cells, "nprobe": nprobe, "refine_iters": 3,
+            "sec": t_ivf, "recall": recall(ivf),
+            # expected candidate fraction scanned per query
+            "cand_frac": round(nprobe / n_cells, 4),
+            **cell_stats(n_cells, 3),
+        })
+        print(json.dumps({"ivf_point": sweep[-1]}), flush=True)
+
     print(json.dumps({
         "n_corpus": args.n_corpus, "n_queries": args.n_queries, "k": args.k,
         "brute_sec": t_bf,
         "lsh_sec": t_lsh, "lsh_recall": recall(lsh),
-        "ivf_sec": t_ivf, "ivf_recall": recall(ivf),
-        "ivf_config": {"n_cells": 64, "nprobe": 8, "refine_iters": 3},
+        "ivf_sweep": sweep,
     }))
     spark.stop()
 
