@@ -138,11 +138,12 @@ def main() -> None:
         # tools/scaling_bench.py with the interleaved fresh-JVM protocol
         # (full tables + methodology: BENCH/BASELINE.md)
         "scaling_64m_docs": {
-            "n4_to_16": {"docs_per_sec_n": 1695089,
-                         "docs_per_sec_4n": 5488524,
-                         "efficiency": 0.809,
-                         "note": "r3 re-measurement, best-of-5 interleaved;"
-                                 " r1 0.823, r2 0.843"},
+            "n4_to_16": {"docs_per_sec_n": 1797841,
+                         "docs_per_sec_4n": 6230941,
+                         "efficiency": 0.866,
+                         "note": "r4 re-measurement, best-of-5 interleaved"
+                                 " with per-pair variance (0.75-0.88);"
+                                 " r1 0.823, r2 0.843, r3 0.809"},
             "n8_to_32": {"docs_per_sec_n": 3137991,
                          "docs_per_sec_4n": 8272788,
                          "efficiency": 0.659,
