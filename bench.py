@@ -72,7 +72,8 @@ def main() -> None:
     ROUNDS = 3
     extra_names = [n for n in ["multimodal_feature_stats",
                                "dd_textlen_by_lang",
-                               "ann_ivf_cosine_topk"] if n in QUERIES]
+                               "ann_ivf_cosine_topk",
+                               "tokens_topk_sketched"] if n in QUERIES]
     all_names = headline + extra_names
     for name in all_names:          # warm pass, untimed
         QUERIES[name](spark, sf_dir).collect()
