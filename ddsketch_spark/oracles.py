@@ -249,10 +249,17 @@ FROM buckets{kgroup}
 
 def trimmed_sql(table: str, value_expr: str, alpha: float, low: float,
                 high: float, kind: str, keys: Sequence[str] = (),
-                weight_expr: str | None = None) -> str:
+                weight_expr: str | None = None,
+                sign_correct: bool = False) -> str:
     """Rows ``keys..., val`` — mirror of ddsketch_trimmed_agg
     (positive-domain semantics; zero bucket ignored in the walk but counted
-    in the low/high thresholds, exactly like the reference)."""
+    in the low/high thresholds, exactly like the reference).
+
+    ``sign_correct=True`` mirrors the engine's opt-in
+    ``correct_negatives`` walk instead (core/ddsketch.py _trimmed): same
+    storage order — which is already ascending VALUE order — but negative
+    bucket i spans [-upper(i), -lower(i)] and the zero bucket joins the
+    walk as a [0, 0] segment."""
     assert kind in ("sum", "avg")
     keys = list(keys)
     _, mult, _, _ = _consts(alpha)
@@ -260,18 +267,29 @@ def trimmed_sql(table: str, value_expr: str, alpha: float, low: float,
     join = f"JOIN totals t USING ({', '.join(keys)})" if keys else "CROSS JOIN totals t"
     kgroup = f" GROUP BY {', '.join(keys)}" if keys else ""
     final = "fsum(contrib)" if kind == "sum" else "fsum(contrib) / sum(cadd)"
+    walk_filter = "" if sign_correct else " WHERE part <> 1"
+    if sign_correct:
+        bfrom = (f"CASE o.part WHEN 0 THEN -exp(ln(2.0) * o.bidx / {_lit(mult)})"
+                 f" WHEN 1 THEN 0.0"
+                 f" ELSE exp(ln(2.0) * (o.bidx - 1) / {_lit(mult)}) END")
+        bto = (f"CASE o.part WHEN 0 THEN -exp(ln(2.0) * (o.bidx - 1) / {_lit(mult)})"
+               f" WHEN 1 THEN 0.0"
+               f" ELSE exp(ln(2.0) * o.bidx / {_lit(mult)}) END")
+    else:
+        bfrom = f"exp(ln(2.0) * (o.bidx - 1) / {_lit(mult)})"
+        bto = f"exp(ln(2.0) * o.bidx / {_lit(mult)})"
     return f"""
 WITH {cte},
 ordered AS (
   SELECT {ksel}part, bidx, c,
          sum(c) OVER ({f"PARTITION BY {', '.join(keys)} " if keys else ""}ORDER BY {order}
                       ROWS UNBOUNDED PRECEDING) - c AS done_before
-  FROM buckets WHERE part <> 1
+  FROM buckets{walk_filter}
 ),
 terms AS (
   SELECT {"".join(f"o.{k}, " for k in keys)}
-         exp(ln(2.0) * (o.bidx - 1) / {_lit(mult)}) AS bfrom,
-         exp(ln(2.0) * o.bidx / {_lit(mult)}) AS bto,
+         {bfrom} AS bfrom,
+         {bto} AS bto,
          least(greatest(0, floor(t.n * {_lit(float(low))}) - o.done_before - 1), o.c) AS cskip,
          o.c, o.done_before,
          ceil(t.n * {_lit(float(high))}) AS count_high

@@ -155,6 +155,27 @@ def dd_trimmed_sum_price(spark, sf_dir):
     return out.select(F.round(F.col("raw"), 4).alias("val"))
 
 
+CENTER_SHIFT = 51000.0
+
+
+def dd_trimmed_centered_correct(spark, sf_dir):
+    """avg_val, sum_val — the opt-in sign-correct trimmed aggregates
+    (correct_negatives=True, core/ddsketch.py _trimmed) on
+    ZERO-STRADDLING data (price centered at 51000): negative buckets get
+    sign-correct [-upper, -lower] bounds and the zero bucket joins the
+    walk. The oracle replays the corrected walk in SQL
+    (oracles.trimmed_sql sign_correct=True); reference-parity defaults
+    stay pinned by the dd_trimmed_* rows."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "cv", F.col("l_extendedprice") - F.lit(CENTER_SHIFT))
+    built = api.ddsketch(df, "cv", 0.05, 1024)
+    return built.select(
+        F.round(sketch_trimmed(F.col("sketch"), 0.2, 0.8, "avg",
+                               correct_negatives=True), 4).alias("avg_val"),
+        F.round(sketch_trimmed(F.col("sketch"), 0.1, 0.9, "sum",
+                               correct_negatives=True), 4).alias("sum_val"))
+
+
 COLLAPSE_QS = [0.1, 0.5, 0.9, 0.99]
 COLLAPSE_MAXBUCKETS = 24
 
@@ -1023,12 +1044,12 @@ QUERIES: dict[str, Callable] = {
     "dd_info_price": dd_info_price,
     "dd_trimmed_avg_price": dd_trimmed_avg_price,
     "dd_trimmed_sum_price": dd_trimmed_sum_price,
+    "dd_trimmed_centered_correct": dd_trimmed_centered_correct,
     "dd_reagg_p90_by_flag": dd_reagg_p90_by_flag,
     "dd_collapsed_quantiles_price": dd_collapsed_quantiles_price,
     "dd_sketch_store_roundtrip": dd_sketch_store_roundtrip,
     "dd_textlen_by_lang": dd_textlen_by_lang,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
-    "dd_p90_events_hourly": dd_p90_events_hourly,
     "dd_quantiles_price_centered": dd_quantiles_price_centered,
     "dd_quantiles_qty_preagg": dd_quantiles_qty_preagg,
     "dd_rank_array_price": dd_rank_array_price,
@@ -1077,6 +1098,7 @@ QUERIES: dict[str, Callable] = {
     "bloom_reagg_orderkeys": bloom_reagg_orderkeys,
     "tdigest_weighted_rank_bound_price": tdigest_weighted_rank_bound_price,
     "dedup_simhash_docs": dedup_simhash_docs,
+    "dd_p90_events_hourly": dd_p90_events_hourly,
 }
 
 ORACLES: dict[str, str] = {
@@ -1097,6 +1119,14 @@ ORACLES: dict[str, str] = {
         "lineitem", "l_extendedprice", 0.05, 0.25, 0.75, "avg") + ")",
     "dd_trimmed_sum_price": "SELECT round(val, 4) AS val FROM (" + oracles.trimmed_sql(
         "lineitem", "l_extendedprice", 0.05, 0.05, 0.95, "sum") + ")",
+    "dd_trimmed_centered_correct": (
+        "SELECT round(a.val, 4) AS avg_val, round(s.val, 4) AS sum_val FROM ("
+        + oracles.trimmed_sql("lineitem", "(l_extendedprice - 51000.0)",
+                              0.05, 0.2, 0.8, "avg", sign_correct=True)
+        + ") a CROSS JOIN ("
+        + oracles.trimmed_sql("lineitem", "(l_extendedprice - 51000.0)",
+                              0.05, 0.1, 0.9, "sum", sign_correct=True)
+        + ") s"),
     "dd_reagg_p90_by_flag": oracles.percentile_sql(
         "lineitem", "l_extendedprice", 0.01, [0.9], keys=["l_returnflag"]),
     "dd_collapsed_quantiles_price": oracles.collapsed_percentile_sql(
