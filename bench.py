@@ -145,19 +145,20 @@ def main() -> None:
                          "note": "r4 re-measurement, best-of-5 interleaved"
                                  " with per-pair variance (0.75-0.88);"
                                  " r1 0.823, r2 0.843, r3 0.809"},
-            "n8_to_32": {"docs_per_sec_n": 3137991,
-                         "docs_per_sec_4n": 8272788,
-                         "efficiency": 0.659,
-                         "note": "r3 re-measurement (r2: 0.653); 4N crosses "
-                                 "into SMT; pure-CPU ceiling on this box "
-                                 "measured 0.6-0.78"},
-            "peak_docs_per_sec": 8272788,
+            "n8_to_32": {"docs_per_sec_n": 3533057,
+                         "docs_per_sec_4n": 10383236,
+                         "efficiency": 0.735,
+                         "note": "r4 re-measurement (r2 0.653, r3 0.659); "
+                                 "4N crosses into SMT; pure-CPU ceiling on "
+                                 "this box measured 0.6-0.78; per-pair "
+                                 "0.59-0.79"},
+            "peak_docs_per_sec": 10383236,
             # reference-methodology (cached numeric table, agg only):
-            # 22.5M docs/s at local[4], 41.7M at local[16] — vs the
+            # 24.8M docs/s at local[4], 54.2M at local[16] — vs the
             # reference's 11.2M rows/s at 4 workers (cached PG table);
-            # r3 re-measurement (r2: 19.7M / 38.3M)
-            "cached_table_docs_per_sec": {"local4": 22491800,
-                                          "local16": 41730001,
+            # r4 re-measurement (r2: 19.7/38.3M, r3: 22.5/41.7M)
+            "cached_table_docs_per_sec": {"local4": 24812338,
+                                          "local16": 54196908,
                                           "local32": 30783481},
         },
         # hot-key merge strategies (tools/skew_bench.py, 512 heavy partials
