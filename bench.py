@@ -163,9 +163,10 @@ def main() -> None:
         },
         # hot-key merge strategies (tools/skew_bench.py, 512 heavy partials
         # on one key): map-side combine 2.0-2.6x over single-round merge
-        # (r3 re-measurement, BENCH/BASELINE.md; r1 2.02x, r2 2.3x)
-        "skew_merge": {"single_round_sec": 2.50, "salted_fanout_sec": 1.389,
-                       "map_combine_sec": 0.98, "speedup": 2.55},
+        # (r4 re-measurement after the premerge refactor; r1 2.02x,
+        # r2 2.3x, r3 2.55x)
+        "skew_merge": {"single_round_sec": 2.362, "salted_fanout_sec": 1.362,
+                       "map_combine_sec": 0.91, "speedup": 2.6},
         "scaling_evidence": "BENCH/BASELINE.md",
         # no Iceberg runtime jar ships in this sandbox (no network):
         # table layer proven format-agnostic in

@@ -215,3 +215,36 @@ def test_spacesaving_spark_bounded_capacity(spark):
     for x, t in truth.items():
         if x not in acc.counters:
             assert t <= acc.floor
+
+
+def test_spacesaving_keyed_full_pipeline(spark):
+    """Grouped heavy hitters end-to-end: sketch_agg with keys (per-lang
+    token top-k at scale = one SpaceSaving summary PER KEY, still
+    O(capacity) state each). The merged per-key sketches must satisfy
+    the bound envelope against per-key exact counts and rank every key's
+    true top-3 inside its monitored set."""
+    from collections import Counter
+
+    from ddsketch_spark.core.spacesaving import SpaceSaving
+    from ddsketch_spark.core.spacesaving import from_bytes as ss_from_bytes
+    from ddsketch_spark.operators.aggregate import sketch_agg
+
+    rng = np.random.default_rng(13)
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, 20000)]
+    toks = np.array([f"{l}_w{min(int(r), 400)}"
+                     for l, r in zip(langs, rng.zipf(1.3, 20000))])
+    df = spark.createDataFrame(
+        pd.DataFrame({"lang": langs, "token": toks})).repartition(8)
+    rows = sketch_agg(df, "token", keys=["lang"],
+                      factory=lambda: SpaceSaving(64),
+                      from_bytes=ss_from_bytes).collect()
+    assert len(rows) == 3
+    for r in rows:
+        truth = Counter(t for l, t in zip(langs, toks) if l == r["lang"])
+        s = ss_from_bytes(bytes(r["sketch"]))
+        assert s.total == sum(truth.values()) == r["n"]
+        for x, (cnt, err) in s.counters.items():
+            t = truth.get(x, 0)
+            assert t <= cnt <= t + err
+        for x, _ in truth.most_common(3):
+            assert x in s.counters
