@@ -50,8 +50,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    BinaryType, DoubleType, LongType, StringType, StructField, StructType,
-    TimestampType,
+    ArrayType, BinaryType, DoubleType, LongType, StringType, StructField,
+    StructType, TimestampType,
 )
 
 from ddsketch_spark.core.ddsketch import DDSketch
@@ -381,6 +381,57 @@ def stateful_quantiles(
         for q, e in zip(qs, est):
             row[f"q{str(q).replace('.', '_')}"] = [float(e) if e is not None else None]
         yield pd.DataFrame(row)
+
+    return (stream_df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout))
+
+
+def stateful_heavy_hitters(
+    stream_df: DataFrame,
+    key: str,
+    item_col: str,
+    k: int = 10,
+    capacity: int = 4096,
+):
+    """``applyInPandasWithState`` running heavy-hitters: state = one
+    serialized SpaceSaving summary per key (O(capacity) — the streaming
+    analogue of `tokens_topk_sketched`'s batch build, vs the unbounded
+    per-token state an exact streaming ``groupBy(token).count`` would
+    accumulate over a web-scale stream). Each micro-batch folds its items
+    in and emits ``key, total, topk_items, topk_counts, topk_errs`` — the
+    err column carries the sketch's own per-item bound so a consumer can
+    decide which hitters are separated. Returns the output DataFrame
+    (attach your own writeStream, update mode)."""
+    from ddsketch_spark.core.spacesaving import SpaceSaving
+
+    out_schema = StructType([
+        StructField(key, StringType(), False),
+        StructField("total", LongType(), False),
+        StructField("topk_items", ArrayType(StringType()), False),
+        StructField("topk_counts", ArrayType(LongType()), False),
+        StructField("topk_errs", ArrayType(LongType()), False),
+    ])
+    state_schema = StructType([StructField("sketch", BinaryType(), True)])
+
+    def fn(kk: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        if state.exists and state.get[0] is not None:
+            s = SpaceSaving.from_bytes(bytes(state.get[0]))
+        else:
+            s = SpaceSaving(capacity)
+        for pdf in pdfs:
+            vals = pdf[item_col].dropna().to_numpy(dtype=object)
+            if vals.size:
+                s.update(vals)
+        state.update((s.to_bytes(),))
+        top = s.topk(k)
+        yield pd.DataFrame({
+            key: [kk[0]], "total": [s.total],
+            "topk_items": [[t for t, _, _ in top]],
+            "topk_counts": [[c for _, c, _ in top]],
+            "topk_errs": [[e for _, _, e in top]],
+        })
 
     return (stream_df.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "update",

@@ -214,3 +214,24 @@ def test_trimmed_correct_negatives_on_zero_straddling_data(salt, trim):
     # sum variant: same envelope scaled by the kept count
     est_sum = s.trimmed_sum(lo, hi, correct_negatives=True)
     assert abs(est_sum - kept.sum()) <= tol * len(kept)
+
+
+@given(st.integers(0, 100_000), st.integers(2, 6), st.integers(0, 5))
+@settings(max_examples=25, deadline=None)
+def test_collapse_mode_merge_order_independent(salt, nparts, shuffle_seed):
+    """Collapse-mode distributed semantics under ANY partitioning and ANY
+    merge order: partials over wide-dynamic-range data collapse a
+    different number of times each, the level-reconciling merge must
+    still reproduce the serial single-process build bit-for-bit."""
+    rng = np.random.default_rng(salt)
+    vals = np.power(10.0, rng.uniform(-10, 10, 800))
+    want = DDSketch(0.01, 24, on_overflow="collapse").update(vals)
+    cuts = np.sort(rng.integers(0, len(vals), nparts - 1))
+    parts = [DDSketch(0.01, 24, on_overflow="collapse").update(c)
+             for c in np.split(vals, cuts) if c.size]
+    order = np.random.default_rng(shuffle_seed).permutation(len(parts))
+    acc = parts[order[0]].copy()
+    for i in order[1:]:
+        acc.merge(parts[i])
+    assert acc == want
+    assert len(acc.neg) + len(acc.pos) <= 24

@@ -524,3 +524,57 @@ def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     live = {f"v={v}" for v in man["buckets"].values()}
     on_disk = {e for e in os.listdir(state) if e.startswith("v=")}
     assert on_disk == live
+
+
+def test_stateful_heavy_hitters_running_state(spark, tmp_path):
+    """Streaming SpaceSaving: two incremental micro-batch runs from one
+    checkpoint must carry the per-key summary forward; the final emitted
+    top-k must satisfy the bound envelope against exact counts over ALL
+    data seen, and (capacity >> vocab here) match the exact top-k."""
+    from collections import Counter
+
+    from ddsketch_spark.streaming.sketch_stream import stateful_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    ckpt = str(tmp_path / "hh_ckpt")
+    out_dir = str(tmp_path / "hh_out")
+
+    def write_tokens(seed, n=3000):
+        rng = np.random.default_rng(seed)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["en", "de"], n),
+            "token": [f"w{min(int(r), 50)}" for r in rng.zipf(1.4, n)],
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        return pdf
+
+    def run_once():
+        stream = spark.readStream.schema("k string, token string").parquet(src)
+        out = stateful_heavy_hitters(stream, "k", "token", k=5, capacity=256)
+        q = (out.writeStream.outputMode("update")
+             .foreachBatch(lambda bdf, bid: bdf.withColumn(
+                 "bid", F.lit(bid)).write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    pdfs = [write_tokens(40)]
+    run_once()
+    pdfs.append(write_tokens(41))
+    run_once()
+
+    res = spark.read.parquet(out_dir).toPandas()
+    last = res.sort_values("bid").groupby("k").last()
+    full = pd.concat(pdfs)
+    for key, grp in full.groupby("k"):
+        truth = Counter(grp["token"])
+        row = last.loc[key]
+        assert row["total"] == len(grp)
+        for item, cnt, err in zip(row["topk_items"], row["topk_counts"],
+                                  row["topk_errs"]):
+            t = truth.get(item, 0)
+            assert t <= cnt <= t + err
+        # capacity 256 >= vocab 51: exact counts, exact top-5 identity
+        want = [t for t, _ in sorted(truth.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:5]]
+        assert list(row["topk_items"]) == want
