@@ -367,3 +367,23 @@ def test_collapse_mode_distributed_agg_matches_serial(spark):
     assert got == want
     assert len(got.neg) + len(got.pos) <= 32
     assert got.alpha > 0.01          # collapse genuinely happened
+
+
+def test_gather_auto_premerge_wiring(spark, monkeypatch):
+    """_gather_estimates must produce bit-identical estimates when the
+    auto pre-merge round fires (fanout forced on) as when it gathers raw
+    per-task partials — pinning the r4 auto-escalation wiring end-to-end.
+    Uses DDSketch (exactly associative merge) so equality is exact."""
+    from ddsketch_spark.core.ddsketch import from_bytes as dd_from_bytes
+    from ddsketch_spark.operators import aggregate as agg_mod
+    from ddsketch_spark.queries import _gather_estimates
+
+    df = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select(F.col("l_extendedprice").alias("v")).repartition(8))
+    plain = _gather_estimates(df, lambda: DDSketch(0.01, 2048),
+                              dd_from_bytes)
+    monkeypatch.setattr(agg_mod, "auto_merge_fanout",
+                        lambda n, threshold=512: 3)
+    forced = _gather_estimates(df, lambda: DDSketch(0.01, 2048),
+                               dd_from_bytes)
+    assert list(plain) == list(forced)
