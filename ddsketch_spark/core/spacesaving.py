@@ -35,7 +35,6 @@ and the catalog query checks the bounds, not raw state.
 
 from __future__ import annotations
 
-import heapq
 import struct
 
 import numpy as np
@@ -59,8 +58,20 @@ class SpaceSaving:
     # ------------------------------------------------------------- update
 
     def update(self, values, counts=None) -> "SpaceSaving":
-        """Batch insert: ``values`` is a sequence of strings (first-seen
-        order is the arrival order); ``counts`` optional positive weights."""
+        """Batch insert: ``values`` is a sequence of strings; ``counts``
+        optional positive weights.
+
+        Fully vectorized: the batch collapses to exact (item, count)
+        pairs (C-speed factorize), becomes its OWN SpaceSaving summary —
+        top-``capacity`` items with exact counts (err 0) and
+        floor = the (capacity+1)-th count, which satisfies (I1)-(I3)
+        exactly for the batch — and folds into the state via
+        :meth:`merge` (the batched update of the mergeable-summaries
+        formulation, Agarwal et al. 2012 §3). vs the classic per-item
+        min-eviction loop: identical invariants and identical result
+        whenever nothing evicts; ~20x faster in the eviction-heavy
+        regime because the only per-item Python left is a dict pass over
+        <= 2*capacity entries per batch."""
         vals = np.asarray(values, dtype=object).ravel()
         if vals.size == 0:
             return self
@@ -74,55 +85,31 @@ class SpaceSaving:
             if np.any(w <= 0):
                 raise ValueError(
                     "count value for the sketch must be a positive integer")
-        # collapse the batch vectorized (C-speed groupby; ~30x the Python
-        # zip loop on token streams); first-seen order preserved so the
-        # eviction sequence stays deterministic for a given partitioning
         import pandas as pd
         sv = pd.Series(vals)
         keep = sv.notna().to_numpy()
         if not keep.all():
-            sv, w = sv[keep], w[keep]
-        codes, uniques = pd.factorize(sv, sort=False)   # first-seen order
+            sv, w = sv[keep], np.asarray(w)[keep]
+        if len(sv) == 0:
+            return self
+        codes, uniques = pd.factorize(sv, sort=False)
         sums = np.zeros(len(uniques), dtype=np.int64)
         np.add.at(sums, codes, w)
-        batch: dict[str, int] = dict(zip(uniques.tolist(), sums.tolist()))
-        c = self.counters
-        absent = []
-        for x, wx in batch.items():
-            e = c.get(x)
-            if e is not None:
-                e[0] += wx
-            else:
-                absent.append((x, wx))
-            self.total += wx
-        if not absent:
-            return self
-        # room first, then min-evictions via a lazy heap over (cnt, item)
-        it = iter(absent)
-        for x, wx in it:
-            if len(c) >= self.capacity:
-                heap = [(e[0], k) for k, e in c.items()]
-                heapq.heapify(heap)
-                self._evict_insert(heap, x, wx)
-                for x2, wx2 in it:
-                    self._evict_insert(heap, x2, wx2)
-                break
-            c[x] = [self.floor + wx, self.floor]
-        return self
-
-    def _evict_insert(self, heap, x: str, wx: int) -> None:
-        c = self.counters
-        while True:
-            cnt, k = heap[0]
-            e = c.get(k)
-            if e is not None and e[0] == cnt:
-                break
-            heapq.heappop(heap)          # stale entry (evicted or bumped)
-        heapq.heappop(heap)
-        del c[k]
-        self.floor = cnt
-        c[x] = [cnt + wx, cnt]
-        heapq.heappush(heap, (cnt + wx, x))
+        batch = SpaceSaving(self.capacity)
+        batch.total = int(sums.sum())
+        if len(uniques) <= self.capacity:
+            batch.counters = {x: [int(n), 0]
+                              for x, n in zip(uniques.tolist(), sums.tolist())}
+        else:
+            # deterministic top-m: count desc, item asc
+            order = (pd.DataFrame({"c": sums, "t": uniques})
+                     .sort_values(["c", "t"], ascending=[False, True],
+                                  kind="mergesort").index.to_numpy())
+            top = order[:self.capacity]
+            batch.floor = int(sums[order[self.capacity]])
+            batch.counters = {uniques[i]: [int(sums[i]), 0]
+                              for i in top.tolist()}
+        return self.merge(batch)
 
     # -------------------------------------------------------------- merge
 
