@@ -269,6 +269,7 @@ def windowed_bucket_counts(
     watermark_delay: str,
     alpha: float = 0.01,
     keys: Sequence[str] = (),
+    slide_duration: str | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of finalized-window sketch cells:
     ``keys..., window_start, window_end, __part, __bidx, cnt`` — pass
@@ -280,17 +281,24 @@ def windowed_bucket_counts(
     by the state store; rows later than that are dropped by the engine —
     the standard watermark contract, with sketch-cell additivity making
     the whole operator a built-in windowed sum (zero Python, state size
-    O(open windows x occupied buckets))."""
+    O(open windows x occupied buckets)).
+
+    ``slide_duration`` makes the windows SLIDING (e.g. a 1h window every
+    15min): each row's cells feed every window covering its timestamp —
+    still entirely the built-in windowed aggregation, with state scaled
+    by the overlap factor (duration/slide open windows per instant)."""
     keys = list(keys)
     part, bidx = dd_bucket_exprs(value_col, alpha)
     v = F.col(value_col)
     w = (F.when(v.isNull() | F.isnan(v.cast("double")), F.lit(0))
          .otherwise(F.lit(1))).cast("long")
+    win = (F.window(ts_col, window_duration, slide_duration)
+           if slide_duration else F.window(ts_col, window_duration))
     return (
         stream_df
         .withWatermark(ts_col, watermark_delay)
         .select(F.col(ts_col), *keys, part, bidx, w.alias("__w"))
-        .groupBy(F.window(ts_col, window_duration), *keys,
+        .groupBy(win, *keys,
                  "__part", "__bidx")
         .agg(F.sum("__w").alias("cnt"))
         .select(*keys,

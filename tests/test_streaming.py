@@ -578,3 +578,54 @@ def test_stateful_heavy_hitters_running_state(spark, tmp_path):
         want = [t for t, _ in sorted(truth.items(),
                                      key=lambda kv: (-kv[1], kv[0]))[:5]]
         assert list(row["topk_items"]) == want
+
+
+def test_sliding_windowed_sketch_cells(spark, tmp_path):
+    """Sliding windows (1h every 30min): each row's cells must land in
+    BOTH windows covering its timestamp, finalized windows must equal the
+    batch-built sketch over their exact time range, and the operator
+    stays a built-in streaming aggregation."""
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_window_sketches, windowed_bucket_counts,
+    )
+
+    src = str(tmp_path / "slsrc")
+    ckpt = str(tmp_path / "slckpt")
+    out_dir = str(tmp_path / "slout")
+    base = pd.Timestamp("2025-06-01 10:00:00")
+
+    rows = [(base + pd.Timedelta(minutes=m), float(v))
+            for m, v in [(5, 10.0), (20, 20.0), (40, 30.0), (50, 40.0),
+                         (70, 50.0), (95, 60.0), (400, 99.0)]]
+    spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "v"])) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    cells = windowed_bucket_counts(stream, "ts", "v", "1 hour",
+                                   "30 minutes", alpha=0.01,
+                                   slide_duration="30 minutes")
+    q = (cells.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination()
+
+    got = {r["window_start"]: r for r in assemble_window_sketches(
+        spark.read.parquet(out_dir), 0.01, 2048).collect()}
+    # every finalized 1h window starting at :30 boundaries covering the
+    # first 6 rows: 9:30, 10:00, 10:30, 11:00 (11:30-12:30 holds only the
+    # watermark-advancing row's windows, still open or emitted separately)
+    vals = {m: v for m, v in [(5, 10.0), (20, 20.0), (40, 30.0),
+                              (50, 40.0), (70, 50.0), (95, 60.0)]}
+    for start_min in (-30, 0, 30, 60):
+        start = base + pd.Timedelta(minutes=start_min)
+        if start not in got:
+            continue
+        want_vals = [v for m, v in vals.items()
+                     if start_min <= m < start_min + 60]
+        want = DDSketch(0.01, 2048).update(np.array(want_vals))
+        assert DDSketch.from_bytes(bytes(got[start]["sketch"])) == want, start
+        assert got[start]["n"] == len(want_vals)
+    # the overlap property itself: windows 10:00 (rows at 5/20/40/50) and
+    # 10:30 (rows at 40/50/70) both contain the 10:40 and 10:50 rows
+    assert got[base]["n"] == 4 and got[base + pd.Timedelta(minutes=30)]["n"] == 3
