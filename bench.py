@@ -73,7 +73,9 @@ def main() -> None:
     extra_names = [n for n in ["multimodal_feature_stats",
                                "dd_textlen_by_lang",
                                "ann_ivf_cosine_topk",
-                               "tokens_topk_sketched"] if n in QUERIES]
+                               "tokens_topk_sketched",
+                               "dd_collapsed_quantiles_price",
+                               "dd_sketch_store_roundtrip"] if n in QUERIES]
     all_names = headline + extra_names
     for name in all_names:          # warm pass, untimed
         QUERIES[name](spark, sf_dir).collect()
