@@ -261,6 +261,49 @@ def _grouped(buckets: DataFrame, keys: Sequence[str], assemble, schema):
         assemble, schema=schema)
 
 
+def hll_ndv_native(df: DataFrame, hash_col: str, p: int = 12,
+                   keys: Sequence[str] = (),
+                   alias: str = "ndv_est") -> DataFrame:
+    """``keys..., <alias> double`` — HLL NDV estimate computed ENTIRELY as
+    JVM expressions (two codegen hash aggregations, zero Python): register
+    max per (keys, j), then the exact-INTEGER power sum
+    ``sum(1 << (Q - rho))`` — order-independent, so it matches the DuckDB
+    oracle and the numpy kernel bit-for-bit — and the raw/linear-counting
+    branch as a CASE. Use when only the estimate is needed; build the
+    binary sketch with :func:`hll_agg_native` when the summary itself is
+    stored or merged (the estimate formula here is the same as
+    core.hll.HLL.estimate)."""
+    from ddsketch_spark.core.hll import _alpha
+
+    keys = list(keys)
+    m = 1 << p
+    Q = H64_BITS - p + 1
+    # same evaluation order as HLL.estimate() and oracles.hll_ndv_sql
+    C = _alpha(m) * m * m * float(1 << Q)
+    h = F.col(hash_col)
+    j = (h % m).alias("__j")
+    wrem = F.expr(f"{hash_col} div {m}")
+    rho = (F.when(wrem == 0, F.lit(Q))
+           .otherwise(F.lit(Q) - F.length(F.bin(wrem))))
+    regs = (
+        df.where(h.isNotNull())
+        .select(*keys, j, rho.cast("int").alias("__rho"))
+        .groupBy(*keys, "__j")
+        .agg(F.max("__rho").alias("__r"))
+    )
+    agg = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({Q} - __r)")).alias("__sp"))
+    zeros = F.lit(m).cast("long") - F.col("__np")
+    denom = (F.col("__sp") + zeros * F.lit(1 << Q).cast("long")).cast("double")
+    raw = F.lit(C) / denom
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m))
+                 * F.log(F.lit(float(m)) / zeros.cast("double"))
+                 ).otherwise(raw)
+    return agg.select(*keys, est.alias(alias))
+
+
 def hll_agg_native(df: DataFrame, hash_col: str, p: int = 12,
                    keys: Sequence[str] = ()) -> DataFrame:
     """``keys..., sketch binary, n long`` — HLL over a pre-hashed int64

@@ -32,7 +32,7 @@ from ddsketch_spark.operators.aggregate import (
     merge_sketches, merge_sketches_extract, sketch_agg, sketch_partials,
 )
 from ddsketch_spark.operators.native import (
-    bloom_agg_native, cms_agg_native, hll_agg_native,
+    bloom_agg_native, cms_agg_native, hll_agg_native, hll_ndv_native,
 )
 
 
@@ -441,19 +441,23 @@ RANK_BOUND_EPS = 0.05
 
 
 def hll_ndv_orderkeys(spark, sf_dir):
-    """Global NDV of o_orderkey via HLL(p=12); hash computed JVM-side."""
+    """Global NDV of o_orderkey via HLL(p=12) — the estimate is a pure
+    JVM expression pipeline (hll_ndv_native: register max + exact-integer
+    power sum + CASE, zero Python); the binary-sketch build/merge path
+    stays driver-checked by hll_reagg_users_by_type."""
     df = _t(spark, sf_dir, "orders").select(spark_h64("o_orderkey").alias("h"))
-    built = hll_agg_native(df, "h", p=12)
-    return built.select(F.round(hll_estimate(F.col("sketch")), 4).alias("ndv_est"))
+    out = hll_ndv_native(df, "h", p=12, alias="raw")
+    return out.select(F.round(F.col("raw"), 4).alias("ndv_est"))
 
 
 def hll_ndv_users_by_type(spark, sf_dir):
-    """Per-event-type NDV of user_id (small-range linear-counting path)."""
+    """Per-event-type NDV of user_id (small-range linear-counting path),
+    JVM-native estimate (see hll_ndv_orderkeys)."""
     df = _t(spark, sf_dir, "events").select(
         "event_type", spark_h64("user_id").alias("h"))
-    built = hll_agg_native(df, "h", p=12, keys=["event_type"])
-    return built.select(
-        "event_type", F.round(hll_estimate(F.col("sketch")), 4).alias("ndv_est"))
+    out = hll_ndv_native(df, "h", p=12, keys=["event_type"], alias="raw")
+    return out.select(
+        "event_type", F.round(F.col("raw"), 4).alias("ndv_est"))
 
 
 def hll_reagg_users_by_type(spark, sf_dir):

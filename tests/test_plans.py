@@ -210,3 +210,26 @@ def test_sketch_store_roundtrip_scans_written_table(spark):
     want = {(r["l_returnflag"], r["q"]): r["est"]
             for r in dd_reagg_p90_by_flag(spark, sf).collect()}
     assert got == want
+
+
+def test_hll_ndv_native_is_pure_jvm(spark):
+    """The HLL NDV estimate path must contain NO Python evaluation nodes
+    (two codegen hash aggregations + CASE) and must equal the numpy
+    kernel's estimate exactly (the register power sum is an exact integer
+    on both sides)."""
+    from ddsketch_spark.core.hashing import py_h64, spark_h64
+    from ddsketch_spark.core.hll import HLL
+    from ddsketch_spark.operators.native import hll_ndv_native
+
+    df = (spark.range(0, 20000)
+          .select((F.col("id") % 3).cast("string").alias("k"),
+                  spark_h64(F.col("id").cast("string")).alias("h")))
+    out = hll_ndv_native(df, "h", p=12, keys=["k"])
+    plan = _plan(out)
+    assert "Python" not in plan and "MapInArrow" not in plan, plan[:1500]
+    got = {r["k"]: r["ndv_est"] for r in out.collect()}
+    for k in ("0", "1", "2"):
+        want = HLL(12).update(np.array(
+            [py_h64(str(i)) for i in range(20000) if i % 3 == int(k)],
+            dtype=np.int64)).estimate()
+        assert got[k] == want, (k, got[k], want)
