@@ -373,6 +373,69 @@ def hll_agg_native(df: DataFrame, hash_col: str, p: int = 12,
     return _grouped(buckets, keys, assemble, out_schema)
 
 
+def _py_probe_positions(h: int, k: int, width: int) -> list[int]:
+    """Positions for a pre-computed probe hash — same double-hash walk as
+    core.hashing.py_positions (which takes the raw string)."""
+    h1 = h % (1 << H1_BITS)
+    h2 = 2 * ((h >> H1_BITS) % (1 << (H1_BITS - 1))) + 1
+    return [(h1 + i * h2) % width for i in range(k)]
+
+
+def cms_freq_native(df: DataFrame, hash_col: str, probe_hashes,
+                    depth: int = 5, width: int = 2048,
+                    weight_col: str | None = None,
+                    prefix: str = "freq_") -> DataFrame:
+    """One-row DataFrame of ``<prefix>j`` count-min frequency estimates
+    for literal probe hashes — ONE conditional-sum scan, zero Python,
+    no sketch materialization: counter cell (i, pos) of a CMS is just
+    ``sum(w where position_i(h) = pos)``, so a handful of probes needs
+    ``depth x len(probes)`` conditional sums and a LEAST, not the
+    depth x width table. Bit-identical to building the sketch and probing
+    it (exact integer sums, order-free). Build the binary sketch with
+    :func:`cms_agg_native` when the summary is stored or merged."""
+    w = (F.coalesce(F.col(weight_col).cast("long"), F.lit(1)) if weight_col
+         else F.lit(1).cast("long"))
+    h1s = f"({hash_col} % {1 << H1_BITS})"
+    h2s = f"(2 * (({hash_col} div {1 << H1_BITS}) % {1 << (H1_BITS - 1)}) + 1)"
+    aggs = []
+    for j, ph in enumerate(probe_hashes):
+        ppos = _py_probe_positions(int(ph), depth, width)
+        for i in range(depth):
+            cond = F.expr(f"(({h1s} + {i} * {h2s}) % {width}) = {ppos[i]}")
+            aggs.append(F.coalesce(
+                F.sum(F.when(cond, w).otherwise(F.lit(0).cast("long"))),
+                F.lit(0).cast("long")).alias(f"__c{j}_{i}"))
+    wide = df.agg(*aggs)
+    return wide.select(*[
+        F.least(*[F.col(f"__c{j}_{i}") for i in range(depth)])
+        .alias(f"{prefix}{j}")
+        for j in range(len(probe_hashes))])
+
+
+def bloom_member_native(df: DataFrame, hash_col: str, probe_hashes,
+                        nbits: int = 1 << 16, k: int = 5,
+                        prefix: str = "member_") -> DataFrame:
+    """One-row DataFrame of ``<prefix>j`` Bloom membership booleans for
+    literal probe hashes — one conditional-max scan (bit b is set iff any
+    row's position walk hits b), zero Python, no filter materialization.
+    Bit-identical to building the filter and probing it."""
+    h1s = f"({hash_col} % {1 << H1_BITS})"
+    h2s = f"(2 * (({hash_col} div {1 << H1_BITS}) % {1 << (H1_BITS - 1)}) + 1)"
+    aggs = []
+    for j, ph in enumerate(probe_hashes):
+        ppos = _py_probe_positions(int(ph), k, nbits)
+        for i in range(k):
+            cond = F.expr(f"(({h1s} + {i} * {h2s}) % {nbits}) = {ppos[i]}")
+            aggs.append(F.coalesce(
+                F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0)).alias(f"__b{j}_{i}"))
+    wide = df.agg(*aggs)
+    return wide.select(*[
+        F.least(*[F.col(f"__b{j}_{i}") for i in range(k)]).cast("boolean")
+        .alias(f"{prefix}{j}")
+        for j in range(len(probe_hashes))])
+
+
 def _positions_exprs(hash_col: str, k: int, width: int):
     """(i, pos) explode for double hashing — JVM mirror of
     core.hashing.positions."""

@@ -32,7 +32,8 @@ from ddsketch_spark.operators.aggregate import (
     merge_sketches, merge_sketches_extract, sketch_agg, sketch_partials,
 )
 from ddsketch_spark.operators.native import (
-    bloom_agg_native, cms_agg_native, hll_agg_native, hll_ndv_native,
+    bloom_agg_native, bloom_member_native, cms_agg_native, cms_freq_native,
+    hll_agg_native, hll_ndv_native,
 )
 
 
@@ -502,9 +503,15 @@ def cms_freq_event_types(spark, sf_dir):
     df = (_t(spark, sf_dir, "events")
           .groupBy("event_type").agg(F.count(F.lit(1)).alias("w"))
           .select(spark_h64("event_type").alias("h"), "w"))
-    built = cms_agg_native(df, "h", depth=5, width=2048, weight_col="w")
-    est = cms_estimate(F.col("sketch"), [py_h64(p) for p in CMS_PROBES])
-    return _explode_probes(built, CMS_PROBES, est, "freq")
+    # probe-only read: the 25 counter cells the probes touch are plain
+    # conditional sums, so the whole estimate is ONE codegen aggregation
+    # (cms_freq_native) — no table materialization, no Python; bit-equal
+    # to building + probing the sketch (exact integer cells). The sketch
+    # build/merge path stays driver-checked by cms_reagg_event_types.
+    wide = cms_freq_native(df, "h", [py_h64(p) for p in CMS_PROBES],
+                           depth=5, width=2048, weight_col="w")
+    est = F.array(*[F.col(f"freq_{j}") for j in range(len(CMS_PROBES))])
+    return _explode_probes(wide, CMS_PROBES, est, "freq")
 
 
 def cms_freq_weighted_event_types(spark, sf_dir):
@@ -517,17 +524,24 @@ def cms_freq_weighted_event_types(spark, sf_dir):
           .agg(F.sum((F.lit(1) + F.col("user_id") % 3).cast("long"))
                .alias("w"))
           .select(spark_h64("event_type").alias("h"), "w"))
-    built = cms_agg_native(df, "h", depth=5, width=2048, weight_col="w")
-    est = cms_estimate(F.col("sketch"), [py_h64(p) for p in CMS_PROBES])
-    return _explode_probes(built, CMS_PROBES, est, "freq")
+    wide = cms_freq_native(df, "h", [py_h64(p) for p in CMS_PROBES],
+                           depth=5, width=2048, weight_col="w")
+    est = F.array(*[F.col(f"freq_{j}") for j in range(len(CMS_PROBES))])
+    return _explode_probes(wide, CMS_PROBES, est, "freq")
 
 
 def bloom_member_orderkeys(spark, sf_dir):
-    """Bloom membership of probe order keys (present + absent mixes)."""
+    """Bloom membership of probe order keys (present + absent mixes) —
+    probe-only read: bit b is set iff some row's position walk hits b, so
+    membership is one conditional-max scan (bloom_member_native), zero
+    Python; bit-equal to building + probing the filter. The filter
+    build/merge path stays driver-checked by bloom_reagg_orderkeys."""
     df = _t(spark, sf_dir, "orders").select(spark_h64("o_orderkey").alias("h"))
-    built = bloom_agg_native(df, "h", nbits=1 << 16, k=5)
-    est = bloom_contains(F.col("sketch"), [py_h64(p) for p in BLOOM_PROBES])
-    return _explode_probes(built, BLOOM_PROBES, est, "member")
+    wide = bloom_member_native(df, "h", [py_h64(p) for p in BLOOM_PROBES],
+                               nbits=1 << 16, k=5)
+    est = F.array(*[F.col(f"member_{j}")
+                    for j in range(len(BLOOM_PROBES))])
+    return _explode_probes(wide, BLOOM_PROBES, est, "member")
 
 
 def stream_windowed_p90_events(spark, sf_dir):

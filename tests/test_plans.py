@@ -233,3 +233,37 @@ def test_hll_ndv_native_is_pure_jvm(spark):
             [py_h64(str(i)) for i in range(20000) if i % 3 == int(k)],
             dtype=np.int64)).estimate()
         assert got[k] == want, (k, got[k], want)
+
+
+def test_cms_bloom_probe_native_pure_jvm_and_kernel_equal(spark):
+    """Probe-only CMS/Bloom reads are single codegen aggregations with NO
+    Python nodes, and equal the build-then-probe kernel results exactly
+    (integer cells / bits are order-free sums and maxes)."""
+    from ddsketch_spark.core.bloom import Bloom
+    from ddsketch_spark.core.cms import CMS
+    from ddsketch_spark.core.hashing import py_h64, spark_h64
+    from ddsketch_spark.operators.native import (
+        bloom_member_native, cms_freq_native)
+
+    vals = [f"v{i % 57}" for i in range(4000)]
+    df = spark.createDataFrame(pd.DataFrame({"s": vals})).select(
+        spark_h64("s").alias("h"))
+    probes = [py_h64(x) for x in ["v0", "v1", "nope", "v56"]]
+
+    wide = cms_freq_native(df, "h", probes, depth=5, width=512)
+    plan = _plan(wide)
+    assert "Python" not in plan and "MapInArrow" not in plan, plan[:1500]
+    got = wide.collect()[0]
+    cms = CMS(5, 512).update(np.array([py_h64(v) for v in vals],
+                                      dtype=np.int64))
+    want = cms.estimate(np.array(probes, dtype=np.int64))
+    assert [got[f"freq_{j}"] for j in range(4)] == [int(x) for x in want]
+
+    bwide = bloom_member_native(df, "h", probes, nbits=1 << 12, k=5)
+    bplan = _plan(bwide)
+    assert "Python" not in bplan and "MapInArrow" not in bplan
+    bgot = bwide.collect()[0]
+    bl = Bloom(1 << 12, 5).update(np.array([py_h64(v) for v in vals],
+                                           dtype=np.int64))
+    bwant = bl.contains(np.array(probes, dtype=np.int64))
+    assert [bgot[f"member_{j}"] for j in range(4)] == [bool(x) for x in bwant]
