@@ -293,7 +293,11 @@ def hll_ndv_native(df: DataFrame, hash_col: str, p: int = 12,
     )
     agg = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("__np"),
-        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({Q} - __r)")).alias("__sp"))
+        # coalesce: a global aggregate over an EMPTY input still emits one
+        # row (count 0, sum NULL) — 0 keeps the math on the kernel's path
+        # (all-zero registers -> linear counting -> estimate 0.0)
+        F.coalesce(F.sum(F.expr(f"CAST(1 AS BIGINT) << ({Q} - __r)")),
+                   F.lit(0).cast("long")).alias("__sp"))
     zeros = F.lit(m).cast("long") - F.col("__np")
     denom = (F.col("__sp") + zeros * F.lit(1 << Q).cast("long")).cast("double")
     raw = F.lit(C) / denom

@@ -248,3 +248,21 @@ def test_spacesaving_keyed_full_pipeline(spark):
             assert t <= cnt <= t + err
         for x, _ in truth.most_common(3):
             assert x in s.counters
+
+
+def test_probe_native_empty_input_matches_kernel(spark):
+    """Probe-only native reads over an EMPTY (or all-NULL) input must
+    match the kernels' empty-sketch answers — a global aggregate still
+    emits one row, so the NULL-sum path needs explicit zeros."""
+    from ddsketch_spark.core.hll import HLL
+    from ddsketch_spark.operators.native import (
+        bloom_member_native, cms_freq_native, hll_ndv_native)
+
+    empty = spark.createDataFrame(pd.DataFrame({"h": pd.array(
+        [None], dtype="Int64")})).where(F.col("h").isNotNull())
+    assert hll_ndv_native(empty, "h", p=12).collect()[0][0] \
+        == HLL(12).estimate() == 0.0
+    r = cms_freq_native(empty, "h", [1, 2], depth=3, width=64).collect()[0]
+    assert (r["freq_0"], r["freq_1"]) == (0, 0)
+    b = bloom_member_native(empty, "h", [1, 2], nbits=256, k=3).collect()[0]
+    assert (b["member_0"], b["member_1"]) == (False, False)
