@@ -420,16 +420,24 @@ def bloom_member_native(df: DataFrame, hash_col: str, probe_hashes,
                         nbits: int = 1 << 16, k: int = 5,
                         prefix: str = "member_") -> DataFrame:
     """One-row DataFrame of ``<prefix>j`` Bloom membership booleans for
-    literal probe hashes — one conditional-max scan (bit b is set iff any
-    row's position walk hits b), zero Python, no filter materialization.
-    Bit-identical to building the filter and probing it."""
+    literal probe hashes — one conditional-max scan, zero Python, no
+    filter materialization; bit-identical to building the filter and
+    probing it.
+
+    Unlike the CMS sibling (one counter ROW per stride), the Bloom bit
+    array is SHARED across strides: bit b is set iff ANY row's walk at
+    ANY stride lands on b — so each probe bit's presence condition is an
+    OR over all k stride positions of the scanned row (a per-stride-only
+    check would miss cross-stride collisions and report false negatives
+    on saturated filters; caught by the sf0.1 oracle run)."""
     h1s = f"({hash_col} % {1 << H1_BITS})"
     h2s = f"(2 * (({hash_col} div {1 << H1_BITS}) % {1 << (H1_BITS - 1)}) + 1)"
+    row_pos = [f"(({h1s} + {i} * {h2s}) % {nbits})" for i in range(k)]
     aggs = []
     for j, ph in enumerate(probe_hashes):
         ppos = _py_probe_positions(int(ph), k, nbits)
-        for i in range(k):
-            cond = F.expr(f"(({h1s} + {i} * {h2s}) % {nbits}) = {ppos[i]}")
+        for i, p in enumerate(ppos):
+            cond = F.expr(" OR ".join(f"{rp} = {p}" for rp in row_pos))
             aggs.append(F.coalesce(
                 F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))),
                 F.lit(0)).alias(f"__b{j}_{i}"))

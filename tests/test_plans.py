@@ -267,3 +267,16 @@ def test_cms_bloom_probe_native_pure_jvm_and_kernel_equal(spark):
                                            dtype=np.int64))
     bwant = bl.contains(np.array(probes, dtype=np.int64))
     assert [bgot[f"member_{j}"] for j in range(4)] == [bool(x) for x in bwant]
+
+    # saturated filter: tiny bit array forces CROSS-STRIDE collisions —
+    # the per-stride-only formulation read false here (r4 sf0.1 catch)
+    many = spark.createDataFrame(pd.DataFrame(
+        {"s": [f"x{i}" for i in range(3000)]})).select(
+        spark_h64("s").alias("h"))
+    sat_probes = [py_h64(x) for x in ["absent1", "absent2", "x5"]]
+    sgot = bloom_member_native(many, "h", sat_probes,
+                               nbits=256, k=5).collect()[0]
+    sb = Bloom(256, 5).update(np.array(
+        [py_h64(f"x{i}") for i in range(3000)], dtype=np.int64))
+    swant = sb.contains(np.array(sat_probes, dtype=np.int64))
+    assert [sgot[f"member_{j}"] for j in range(3)] == [bool(x) for x in swant]
