@@ -401,6 +401,7 @@ def stateful_heavy_hitters(
     item_col: str,
     k: int = 10,
     capacity: int = 4096,
+    weight_col: str | None = None,
 ):
     """``applyInPandasWithState`` running heavy-hitters: state = one
     serialized SpaceSaving summary per key (O(capacity) — the streaming
@@ -409,8 +410,10 @@ def stateful_heavy_hitters(
     accumulate over a web-scale stream). Each micro-batch folds its items
     in and emits ``key, total, topk_items, topk_counts, topk_errs`` — the
     err column carries the sketch's own per-item bound so a consumer can
-    decide which hitters are separated. Returns the output DataFrame
-    (attach your own writeStream, update mode)."""
+    decide which hitters are separated. ``weight_col`` folds positive
+    per-row weights (e.g. token counts pre-aggregated upstream) instead
+    of unit counts. Returns the output DataFrame (attach your own
+    writeStream, update mode)."""
     from ddsketch_spark.core.spacesaving import SpaceSaving
 
     out_schema = StructType([
@@ -429,9 +432,11 @@ def stateful_heavy_hitters(
         else:
             s = SpaceSaving(capacity)
         for pdf in pdfs:
-            vals = pdf[item_col].dropna().to_numpy(dtype=object)
+            sub = pdf.dropna(subset=[item_col])
+            vals = sub[item_col].to_numpy(dtype=object)
             if vals.size:
-                s.update(vals)
+                s.update(vals, sub[weight_col].to_numpy(dtype="int64")
+                         if weight_col else None)
         state.update((s.to_bytes(),))
         top = s.topk(k)
         yield pd.DataFrame({

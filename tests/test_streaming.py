@@ -629,3 +629,32 @@ def test_sliding_windowed_sketch_cells(spark, tmp_path):
     # the overlap property itself: windows 10:00 (rows at 5/20/40/50) and
     # 10:30 (rows at 40/50/70) both contain the 10:40 and 10:50 rows
     assert got[base]["n"] == 4 and got[base + pd.Timedelta(minutes=30)]["n"] == 3
+
+
+def test_stateful_heavy_hitters_weighted(spark, tmp_path):
+    """Weighted streaming heavy hitters: per-row weights must fold in as
+    counts (capacity >> vocab here, so totals and top-k are exact)."""
+    from ddsketch_spark.streaming.sketch_stream import stateful_heavy_hitters
+
+    src = str(tmp_path / "whh_src")
+    ckpt = str(tmp_path / "whh_ckpt")
+    out_dir = str(tmp_path / "whh_out")
+    pdf = pd.DataFrame({
+        "k": ["en"] * 4,
+        "token": ["a", "b", "a", "c"],
+        "w": [5, 2, 3, 7],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "k string, token string, w long").parquet(src)
+    out = stateful_heavy_hitters(stream, "k", "token", k=3, capacity=16,
+                                 weight_col="w")
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    row = spark.read.parquet(out_dir).collect()[0]
+    assert row["total"] == 17
+    assert list(row["topk_items"]) == ["a", "c", "b"]
+    assert list(row["topk_counts"]) == [8, 7, 2]
