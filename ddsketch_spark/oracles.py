@@ -316,6 +316,46 @@ SELECT {ksel}{final} AS val FROM contribs{kgroup}
 # ---------------------------------------------------------------------------
 
 
+def kmv_overlap_sql(pred_a: str, pred_b: str, k: int,
+                    table: str = "events",
+                    key_expr: str = "user_id") -> str:
+    """One row ``est_a, est_b, est_union, est_inter`` — exact replay of
+    core.kmv: bottom-k distinct hashes per side (ORDER BY LIMIT), union
+    synopsis, (k-1)*M / kth estimator with the exact-count branch below
+    capacity, and the rho-scaled intersection — same float literals and
+    op order as the kernel."""
+    from ddsketch_spark.core.kmv import M_HASH_SPACE
+
+    C = _lit((k - 1) * M_HASH_SPACE)
+    h = duckdb_h64(key_expr)
+
+    def est(n, kth):
+        return (f"CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
+                f" ELSE {C} / CAST({kth} AS DOUBLE) END")
+
+    eu = est("nu", "ku")
+    return f"""
+WITH a AS (SELECT DISTINCT {h} AS h FROM {table}
+           WHERE {pred_a} ORDER BY h LIMIT {k}),
+b AS (SELECT DISTINCT {h} AS h FROM {table}
+      WHERE {pred_b} ORDER BY h LIMIT {k}),
+u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+      ORDER BY h LIMIT {k}),
+stats AS (SELECT
+  (SELECT count(*) FROM a) AS na, (SELECT max(h) FROM a) AS ka,
+  (SELECT count(*) FROM b) AS nb, (SELECT max(h) FROM b) AS kb,
+  (SELECT count(*) FROM u) AS nu, (SELECT max(h) FROM u) AS ku,
+  (SELECT count(*) FROM u JOIN a USING (h) JOIN b USING (h)) AS ni)
+SELECT round({est("na", "ka")}, 4) AS est_a,
+       round({est("nb", "kb")}, 4) AS est_b,
+       round({eu}, 4) AS est_union,
+       round(CASE WHEN nu = 0 THEN 0.0
+                  ELSE CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) * ({eu})
+             END, 4) AS est_inter
+FROM stats
+"""
+
+
 def _hll_alpha(m: int) -> float:
     if m >= 128:
         return 0.7213 / (1.0 + 1.079 / m)

@@ -589,6 +589,46 @@ def stream_windowed_p90_events(spark, sf_dir):
     return out
 
 
+KMV_K = 64
+
+
+def kmv_user_overlap(spark, sf_dir):
+    """est_a, est_b, est_union, est_inter — distinct-user overlap between
+    'click' and 'view' events via KMV bottom-k sketches (core/kmv.py):
+    the set-operation sibling of HLL. The state is the k smallest
+    distinct user hashes per side, so union NDV is the merged synopsis's
+    estimate and intersection NDV is the Beyer-et-al rho scaling — both
+    deterministic functions of the input sets, replayed exactly by the
+    DuckDB oracle (ORDER BY h LIMIT k + the same float literals). k=64
+    keeps the approximate branch live at sf0.01+ (150 users/type) while
+    sf0.001 exercises the exact below-capacity branch."""
+    from ddsketch_spark.core import kmv as kmv_mod
+    from ddsketch_spark.core.kmv import (
+        KMV, intersection_estimate, union_estimate)
+
+    ev = _t(spark, sf_dir, "events")
+    # side A: users who click; side B: ~2/3 of users who view — so the
+    # four estimates genuinely differ (A superset-ish, partial overlap)
+    side = (F.when(F.col("event_type") == "click", F.lit("a"))
+            .when((F.col("event_type") == "view")
+                  & (F.pmod(F.col("user_id"), F.lit(3)) < 2), F.lit("b")))
+    df = (ev.select(side.alias("side"), spark_h64("user_id").alias("h"))
+          .where(F.col("side").isNotNull()))
+    rows = sketch_agg(df, "h", keys=["side"],
+                      factory=lambda: KMV(KMV_K),
+                      from_bytes=kmv_mod.from_bytes).collect()
+    by = {r["side"]: kmv_mod.from_bytes(bytes(r["sketch"])) for r in rows}
+    a, b = by["a"], by["b"]
+    raw = spark.createDataFrame(
+        [(a.estimate(), b.estimate(), union_estimate(a, b),
+          intersection_estimate(a, b))],
+        "ra double, rb double, ru double, ri double")
+    return raw.select(F.round("ra", 4).alias("est_a"),
+                      F.round("rb", 4).alias("est_b"),
+                      F.round("ru", 4).alias("est_union"),
+                      F.round("ri", 4).alias("est_inter"))
+
+
 def cms_reagg_event_types(spark, sf_dir):
     """Lifecycle B for count-min: per-hour CMS sketches merged to one
     global sketch (cell-wise sum, associative), then probed. Oracle =
@@ -1070,7 +1110,6 @@ QUERIES: dict[str, Callable] = {
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
     "dd_quantiles_price_centered": dd_quantiles_price_centered,
     "dd_quantiles_qty_preagg": dd_quantiles_qty_preagg,
-    "dd_rank_array_price": dd_rank_array_price,
     "dd_rank_weighted_price": dd_rank_weighted_price,
     "dd_incremental_add_union": dd_incremental_add_union,
     "dd_rank_from_sketches_by_flag": dd_rank_from_sketches_by_flag,
@@ -1079,6 +1118,7 @@ QUERIES: dict[str, Callable] = {
     "hll_ndv_orderkeys": hll_ndv_orderkeys,
     "hll_ndv_users_by_type": hll_ndv_users_by_type,
     "hll_reagg_users_by_type": hll_reagg_users_by_type,
+    "kmv_user_overlap": kmv_user_overlap,
     "stream_windowed_p90_events": stream_windowed_p90_events,
     "cms_freq_event_types": cms_freq_event_types,
     "cms_freq_weighted_event_types": cms_freq_weighted_event_types,
@@ -1117,6 +1157,7 @@ QUERIES: dict[str, Callable] = {
     "tdigest_weighted_rank_bound_price": tdigest_weighted_rank_bound_price,
     "dedup_simhash_docs": dedup_simhash_docs,
     "dd_p90_events_hourly": dd_p90_events_hourly,
+    "dd_rank_array_price": dd_rank_array_price,
 }
 
 ORACLES: dict[str, str] = {
@@ -1214,6 +1255,9 @@ ORACLES: dict[str, str] = {
     # direct per-type build, which is what this SQL computes
     "hll_reagg_users_by_type": oracles.hll_ndv_sql(
         "events", "user_id", p=12, keys=["event_type"]),
+    "kmv_user_overlap": oracles.kmv_overlap_sql(
+        "event_type = 'click'",
+        "event_type = 'view' AND (user_id % 3) < 2", KMV_K),
     "cms_freq_event_types": oracles.cms_freq_sql(
         "events", "event_type", 5, 2048, CMS_PROBES),
     "stream_windowed_p90_events": oracles.percentile_sql(

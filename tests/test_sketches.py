@@ -382,3 +382,68 @@ def test_spacesaving_capacity_mismatch_merge_errors():
     a, b = SpaceSaving(8), SpaceSaving(16)
     with pytest.raises(ValueError, match="different capacities"):
         a.merge(b)
+
+
+# ------------------------------------------------------------------ KMV
+
+from ddsketch_spark.core.kmv import (
+    KMV, intersection_estimate, union_estimate)
+
+
+def test_kmv_exact_below_capacity_and_set_semantics():
+    h = np.array([py_h64(f"u{i}") for i in range(40)] * 3, dtype=np.int64)
+    s = KMV(64).update(h)
+    assert s.estimate() == 40.0            # duplicates are no-ops
+    assert np.array_equal(s.values, np.unique(h))
+
+
+def test_kmv_estimate_error_bound():
+    rng = np.random.default_rng(31)
+    for n in (2000, 20000):
+        h = np.array([py_h64(f"v{i}") for i in range(n)], dtype=np.int64)
+        s = KMV(256).update(h)
+        assert abs(s.estimate() - n) / n < 4 / np.sqrt(254), n
+
+
+def test_kmv_merge_laws_exact():
+    """Bottom-k of a set union: merge is exactly associative, commutative,
+    idempotent, and equals the direct build — bit-for-bit."""
+    h = np.array([py_h64(f"w{i}") for i in range(5000)], dtype=np.int64)
+    parts = np.array_split(h, 7)
+    sks = [KMV(128).update(p) for p in parts]
+    direct = KMV(128).update(h)
+    left = sks[0].copy()
+    for s in sks[1:]:
+        left.merge(s)
+    assert left == direct
+    right = sks[-1].copy()
+    for s in reversed(sks[:-1]):
+        right.merge(s)
+    assert right == direct
+    assert direct.copy().merge(direct) == direct       # idempotent
+    with pytest.raises(ValueError, match="different k"):
+        KMV(64).merge(KMV(128))
+
+
+def test_kmv_union_intersection_estimates():
+    a_items = [f"a{i}" for i in range(3000)]
+    shared = [f"s{i}" for i in range(1500)]
+    b_items = [f"b{i}" for i in range(2000)]
+    ha = np.array([py_h64(x) for x in a_items + shared], dtype=np.int64)
+    hb = np.array([py_h64(x) for x in b_items + shared], dtype=np.int64)
+    a = KMV(512).update(ha)
+    b = KMV(512).update(hb)
+    u = union_estimate(a, b)
+    i = intersection_estimate(a, b)
+    assert abs(u - 6500) / 6500 < 0.2
+    assert abs(i - 1500) / 1500 < 0.35      # rho has ~1/sqrt(k) noise twice
+    # inclusion-exclusion coherence
+    assert abs((a.estimate() + b.estimate() - i) - u) / u < 0.25
+
+
+def test_kmv_serde_roundtrip():
+    h = np.array([py_h64(f"z{i}") for i in range(900)], dtype=np.int64)
+    s = KMV(256).update(h)
+    assert KMV.from_bytes(s.to_bytes()) == s
+    with pytest.raises(ValueError, match="invalid KMV"):
+        KMV.from_bytes(b"XXXX" + s.to_bytes()[4:])

@@ -266,3 +266,23 @@ def test_probe_native_empty_input_matches_kernel(spark):
     assert (r["freq_0"], r["freq_1"]) == (0, 0)
     b = bloom_member_native(empty, "h", [1, 2], nbits=256, k=3).collect()[0]
     assert (b["member_0"], b["member_1"]) == (False, False)
+
+
+def test_kmv_spark_pipeline_equals_kernel(spark):
+    """KMV through the 2-stage pipeline must equal the direct kernel
+    build bit-for-bit (bottom-k of a set union is exactly associative),
+    under any partitioning."""
+    from ddsketch_spark.core import kmv as kmv_mod
+    from ddsketch_spark.core.kmv import KMV
+    from ddsketch_spark.operators.aggregate import sketch_agg
+
+    ids = [f"u{i}" for i in range(6000)]
+    pdf = pd.DataFrame({"s": ids * 2})          # duplicates are no-ops
+    df = spark.createDataFrame(pdf).select(spark_h64("s").alias("h"))
+    want = KMV(256).update(np.array([py_h64(x) for x in ids],
+                                    dtype=np.int64))
+    for parts in (1, 16):
+        out = sketch_agg(df.repartition(parts), "h",
+                         factory=lambda: KMV(256),
+                         from_bytes=kmv_mod.from_bytes).collect()[0]
+        assert kmv_mod.from_bytes(bytes(out["sketch"])) == want
