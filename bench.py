@@ -75,7 +75,8 @@ def main() -> None:
                                "ann_ivf_cosine_topk",
                                "tokens_topk_sketched",
                                "dd_collapsed_quantiles_price",
-                               "dd_sketch_store_roundtrip"] if n in QUERIES]
+                               "dd_sketch_store_roundtrip",
+                               "kmv_user_overlap"] if n in QUERIES]
     all_names = headline + extra_names
     for name in all_names:          # warm pass, untimed
         QUERIES[name](spark, sf_dir).collect()
