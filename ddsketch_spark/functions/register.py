@@ -151,11 +151,40 @@ def register_sibling_sql_functions(spark: SparkSession) -> None:
             if b is not None and x is not None else None
             for b, x in zip(s, q)], dtype="object")
 
+    from ddsketch_spark.core import kmv as kmv_mod
+    from ddsketch_spark.core import spacesaving as ss_mod
+
+    @F.pandas_udf(DoubleType())
+    def kmv_ndv(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: float(kmv_mod.from_bytes(bytes(b)).estimate())
+                     if b is not None else None)
+
+    @F.pandas_udf(DoubleType())
+    def kmv_intersection(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series([
+            float(kmv_mod.intersection_estimate(
+                kmv_mod.from_bytes(bytes(a)), kmv_mod.from_bytes(bytes(b))))
+            if a is not None and b is not None else None
+            for a, b in zip(s1, s2)], dtype="object")
+
+    @F.pandas_udf(LongType())
+    def spacesaving_count(s: pd.Series, item: pd.Series) -> pd.Series:
+        def go(b, x):
+            if b is None or x is None:
+                return None
+            e = ss_mod.from_bytes(bytes(b)).get(str(x))
+            return int(e[0]) if e is not None else 0
+        return pd.Series([go(b, x) for b, x in zip(s, item)],
+                         dtype="object")
+
     for name, fn in [
         ("hll_ndv", hll_ndv),
         ("cms_freq", cms_freq),
         ("bloom_might_contain", bloom_might_contain),
         ("kll_quantile", kll_quantile),
         ("tdigest_quantile", tdigest_quantile),
+        ("kmv_ndv", kmv_ndv),
+        ("kmv_intersection", kmv_intersection),
+        ("spacesaving_count", spacesaving_count),
     ]:
         spark.udf.register(name, fn)

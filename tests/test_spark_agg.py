@@ -346,6 +346,31 @@ def test_sibling_sql_function_surface(spark, data):
     est = spark.sql("SELECT kll_quantile(sketch, 0.5) AS m FROM kll_t").collect()[0]["m"]
     assert abs(np.mean(pdf["v"] <= est) - 0.5) < 0.1
 
+    # KMV + SpaceSaving SQL surface
+    from ddsketch_spark.core import kmv as kmv_mod
+    from ddsketch_spark.core.kmv import KMV
+
+    sketch_agg(hdf, "h", factory=lambda: KMV(256),
+               from_bytes=kmv_mod.from_bytes).createOrReplaceTempView("kmv_t")
+    kndv = spark.sql("SELECT kmv_ndv(sketch) AS n FROM kmv_t").collect()[0]["n"]
+    kwant = KMV(256).update(np.array([py_h64(str(v)) for v in pdf["v"]],
+                                     dtype=np.int64))
+    assert kndv == kwant.estimate()
+    kint = spark.sql(
+        "SELECT kmv_intersection(a.sketch, b.sketch) AS i "
+        "FROM kmv_t a CROSS JOIN kmv_t b").collect()[0]["i"]
+    assert kint == pytest.approx(kwant.estimate())   # self-intersection
+
+    from ddsketch_spark.core import spacesaving as ss_mod
+    from ddsketch_spark.core.spacesaving import SpaceSaving
+
+    toks = df.select(F.concat(F.lit("t"), (F.col("k") % 3)).alias("s"))
+    sketch_agg(toks, "s", factory=lambda: SpaceSaving(64),
+               from_bytes=ss_mod.from_bytes).createOrReplaceTempView("ss_t")
+    c0 = spark.sql("SELECT spacesaving_count(sketch, 't0') AS c FROM ss_t") \
+        .collect()[0]["c"]
+    assert c0 == int((pdf["k"] % 3 == 0).sum())
+
 
 def test_collapse_mode_distributed_agg_matches_serial(spark):
     """2-stage aggregation with a tiny collapse-mode bucket budget: each
