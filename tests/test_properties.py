@@ -235,3 +235,29 @@ def test_collapse_mode_merge_order_independent(salt, nparts, shuffle_seed):
         acc.merge(parts[i])
     assert acc == want
     assert len(acc.neg) + len(acc.pos) <= 24
+
+
+# ------------------------------------------------------------------ KMV
+
+from ddsketch_spark.core.kmv import KMV
+
+
+@given(st.integers(0, 100_000), st.integers(2, 32), st.integers(2, 6))
+@settings(max_examples=30, deadline=None)
+def test_kmv_any_partitioning_any_merge_order_equals_direct(salt, k, nparts):
+    """Bottom-k of a set union is a pure function of the input SET:
+    any partitioning + any merge order must equal the direct build
+    bit-for-bit (with duplicates across partitions)."""
+    rng = np.random.default_rng(salt)
+    n = int(rng.integers(0, 400))
+    h = rng.integers(0, 1 << 60, n, dtype=np.int64)
+    h = np.concatenate([h, h[: n // 2]])          # cross-partition dups
+    direct = KMV(k).update(h)
+    cuts = np.sort(rng.integers(0, len(h), nparts - 1))
+    parts = [KMV(k).update(c) for c in np.split(h, cuts)]
+    order = rng.permutation(len(parts))
+    acc = parts[order[0]].copy()
+    for i in order[1:]:
+        acc.merge(parts[i])
+    assert acc == direct
+    assert KMV.from_bytes(acc.to_bytes()) == acc
