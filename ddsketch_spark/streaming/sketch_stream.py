@@ -29,11 +29,16 @@ ddsketch.c:2402-2648). The shapes:
    register max) and per-key session windows (cells carried inside the
    aggregation, since sessions merge per grouping key).
 
-4. :func:`stateful_quantiles` — ``applyInPandasWithState`` keeping one
-   serialized sketch per key in Spark's state store, emitting running
-   quantiles each batch: the custom-stateful-operator shape for when state
-   must live inside the streaming engine (exactly-once with the
-   checkpoint).
+4. :func:`stateful_quantiles` / :func:`stateful_heavy_hitters` —
+   ``applyInPandasWithState`` keeping one serialized sketch (DDSketch /
+   SpaceSaving) per key in Spark's state store, emitting running
+   quantiles or bounded top-k each batch: the custom-stateful-operator
+   shape for when state must live inside the streaming engine
+   (exactly-once with the checkpoint).
+
+Tumbling windows are the default; :func:`windowed_bucket_counts` also
+takes ``slide_duration`` for sliding (overlapping) windows — still the
+built-in aggregation, state scaled by the overlap factor.
 
 Tests drive all three with a file source + ``trigger(availableNow)`` so
 runs are deterministic and incremental (new files -> only new rows
