@@ -144,6 +144,34 @@ def map_upper_bound(alpha: float, index) -> float:
     return map_lower_bound(alpha, index + 1)
 
 
+def collapse_levels(fine_alpha: float, coarse_alpha: float) -> int | None:
+    """Number of UDDSketch collapse steps taking ``fine_alpha`` to
+    ``coarse_alpha`` along the deterministic chain ``a -> 2a/(1+a^2)``,
+    or None when ``coarse_alpha`` is not on the chain (sketches built at
+    unrelated alphas — e.g. 0.01 and 0.02 — are NOT mergeable even in
+    collapse mode).
+
+    Pure scalar float iteration: no sketch state is touched, so callers
+    can probe reachability BEFORE collapsing anything (a failed merge
+    must leave both operands intact). The chain is strictly increasing
+    and bounded by 1.0 (``1 + a^2 > 2a`` for ``a != 1``); in float it
+    stalls at a fixpoint just below 1.0, which reads as "not reachable"
+    rather than looping to the ``alpha == 1.0`` division-by-zero the
+    old in-place loop could hit."""
+    a = float(fine_alpha)
+    coarse = float(coarse_alpha)
+    for levels in range(64):
+        if a == coarse:
+            return levels
+        if a > coarse or a >= 1.0:
+            return None  # overshot: coarse is off-chain
+        nxt = 2.0 * a / (1.0 + a * a)
+        if nxt <= a:
+            return None  # float fixpoint: no progress
+        a = nxt
+    return None
+
+
 class DDSketch:
     """Mergeable DDSketch accumulator with vectorized batch updates.
 
@@ -285,15 +313,25 @@ class DDSketch:
             # collapsed until the levels meet — this is what makes the
             # distributed aggregation merge-safe when partials overflow a
             # different number of times. In reference ('error') mode the
-            # reference's alpha-mismatch error stands.
+            # reference's alpha-mismatch error stands. Reachability is
+            # probed on SCALARS first (collapse_levels) so off-chain
+            # alphas raise the alpha-mismatch error with self untouched —
+            # never a half-collapsed self or a divide-by-zero at the
+            # float fixpoint alpha -> 1.0 (r4 ADVICE).
+            levels = None
             if self.on_overflow == "collapse" and other.on_overflow == "collapse":
-                other = other.copy()   # never mutate the caller's sketch
-                for _ in range(64):
-                    if self.alpha == other.alpha:
-                        break
-                    finer = self if self.alpha < other.alpha else other
-                    finer._collapse()
-            if self.alpha != other.alpha:
+                if self.alpha < other.alpha:
+                    levels = collapse_levels(self.alpha, other.alpha)
+                    if levels is not None:
+                        for _ in range(levels):
+                            self._collapse()
+                else:
+                    levels = collapse_levels(other.alpha, self.alpha)
+                    if levels is not None:
+                        other = other.copy()  # never mutate the caller's sketch
+                        for _ in range(levels):
+                            other._collapse()
+            if levels is None:
                 raise ValueError(
                     "can't merge sketches with different alpha values")
         self.maxbuckets = max(self.maxbuckets, other.maxbuckets)

@@ -310,6 +310,28 @@ def merge_partials(
     return work.groupBy(*group_cols).applyInPandas(merge_fn, schema=out_schema)
 
 
+def resolve_from_bytes(factory: Callable[[], object],
+                       from_bytes: Callable[[bytes], object]):
+    """Thread the factory's overflow policy into partial deserialization.
+
+    ``on_overflow`` is deliberately NOT part of the wire format (the
+    header stays reference-parity, flags==0 — ddsketch.c:3013-3027), so a
+    collapse-mode factory's partials would otherwise deserialize with the
+    default ``on_overflow='error'`` and the level-reconciling merge in
+    :meth:`DDSketch.merge` could never engage at the merge stage — the
+    exact scenario collapse mode exists for, partials that collapsed a
+    different number of times (r4 ADVICE). Only rebinds the DEFAULT
+    DDSketch deserializer; an explicit ``from_bytes`` is the caller's
+    contract."""
+    if from_bytes is not dd_from_bytes:
+        return from_bytes
+    probe = factory()
+    oo = getattr(probe, "on_overflow", "error")
+    if isinstance(probe, DDSketch) and oo != "error":
+        return lambda b, _oo=oo: dd_from_bytes(b, _oo)
+    return from_bytes
+
+
 def sketch_agg(
     df: DataFrame,
     value_col: str,
@@ -327,7 +349,9 @@ def sketch_agg(
     """
     partials = sketch_partials(df, value_col, keys, factory, weight_col,
                                fanout=fanout)
-    return merge_partials(partials, keys, from_bytes, merge_fanout)
+    return merge_partials(partials, keys,
+                          resolve_from_bytes(factory, from_bytes),
+                          merge_fanout)
 
 
 def _stored_rows_as_partials(df: DataFrame, sketch_col: str,

@@ -227,7 +227,18 @@ def dd_reagg_p90_by_flag(spark, sf_dir):
          StructField("est", DoubleType(), True)])
 
 
-SKETCH_STORE_ROOT = "/root/repo/.scratch/sketch_store"
+# derived from the package location, not a hardcoded checkout path, so
+# any clone location works (r4 ADVICE)
+import os as _os  # noqa: E402
+
+SKETCH_STORE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    ".scratch", "sketch_store")
+# paths written by THIS process; cleaned on the next invocation (the
+# written table must outlive the returned lazy plan, so invocation N's
+# dir is deleted by invocation N+1). Other sessions' dirs are never
+# touched — no cross-process rmtree race (r4 ADVICE).
+_OWNED_STORE_PATHS: list[str] = []
 
 
 def dd_sketch_store_roundtrip(spark, sf_dir):
@@ -252,8 +263,11 @@ def dd_sketch_store_roundtrip(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
     fine = api.ddsketch(df, "l_extendedprice", 0.01, 2048,
                         keys=["l_returnflag", "l_linestatus"])
-    shutil.rmtree(SKETCH_STORE_ROOT, ignore_errors=True)  # prior runs
+    for p in _OWNED_STORE_PATHS:         # this process's prior runs only
+        shutil.rmtree(p, ignore_errors=True)
+    _OWNED_STORE_PATHS.clear()
     path = f"{SKETCH_STORE_ROOT}/{_uuid_mod.uuid4().hex[:12]}"
+    _OWNED_STORE_PATHS.append(path)
     write_table(fine, path)
     stored = read_table(spark, path)
     qs = [0.9]
@@ -618,7 +632,12 @@ def kmv_user_overlap(spark, sf_dir):
                       factory=lambda: KMV(KMV_K),
                       from_bytes=kmv_mod.from_bytes).collect()
     by = {r["side"]: kmv_mod.from_bytes(bytes(r["sketch"])) for r in rows}
-    a, b = by["a"], by["b"]
+    # an empty side (zero matching rows at a tiny SF / changed testdata)
+    # is a legitimate input: fall back to an empty KMV so the estimates
+    # come out 0.0 exactly like the oracle's empty-side CASE branches
+    # (r4 ADVICE), instead of a KeyError
+    a = by.get("a", KMV(KMV_K))
+    b = by.get("b", KMV(KMV_K))
     raw = spark.createDataFrame(
         [(a.estimate(), b.estimate(), union_estimate(a, b),
           intersection_estimate(a, b))],

@@ -459,3 +459,43 @@ def test_with_maxbuckets_deterministic_and_validated():
     assert np.all(np.diff(qs) >= 0)
     with pytest.raises(ValueError, match="invalid number of buckets"):
         fine.with_maxbuckets(8)
+
+
+def test_collapse_merge_off_chain_alpha_raises_and_preserves():
+    """Alphas NOT on the same collapse chain (sketches independently
+    built at 0.01 and 0.02) must raise the alpha-mismatch error even in
+    collapse mode — with BOTH operands left untouched. The old in-place
+    loop collapsed self destructively and then died with
+    ZeroDivisionError at the float fixpoint alpha -> 1.0 (r4 ADVICE)."""
+    rng = np.random.default_rng(31)
+    vals = np.exp(rng.standard_normal(2000)) * 50
+    a = DDSketch(0.01, 64, on_overflow="collapse").update(vals)
+    b = DDSketch(0.02, 64, on_overflow="collapse").update(vals)
+    a_snap, b_snap = a.copy(), b.copy()
+    with pytest.raises(ValueError, match="different alpha"):
+        a.merge(b)
+    assert a == a_snap          # self NOT half-collapsed by the probe
+    assert b == b_snap
+    with pytest.raises(ValueError, match="different alpha"):
+        b.merge(a)
+    assert b == b_snap
+
+
+def test_collapse_levels_chain_probe():
+    """collapse_levels is a pure scalar probe of the UDDSketch alpha
+    chain: exact step counts on-chain, None off-chain / wrong direction,
+    and it never divides by (1 - alpha)."""
+    from ddsketch_spark.core.ddsketch import collapse_levels
+
+    a = 0.005
+    chain = [a]
+    for _ in range(6):
+        prev = chain[-1]
+        chain.append(2.0 * prev / (1.0 + prev * prev))
+    for k, c in enumerate(chain):
+        assert collapse_levels(a, c) == k
+    assert collapse_levels(0.05, 0.05) == 0
+    assert collapse_levels(0.01, 0.02) is None   # off-chain
+    assert collapse_levels(0.02, 0.01) is None   # wrong direction
+    # chain stalls below 1.0 in float: unreachable target -> None, no crash
+    assert collapse_levels(0.01, 0.9999999) is None

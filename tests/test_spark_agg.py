@@ -412,3 +412,37 @@ def test_gather_auto_premerge_wiring(spark, monkeypatch):
     forced = _gather_estimates(df, lambda: DDSketch(0.01, 2048),
                                dd_from_bytes)
     assert list(plain) == list(forced)
+
+
+def test_collapse_factory_default_from_bytes(spark):
+    """sketch_agg with a collapse-mode factory and the DEFAULT
+    deserializer: partials that collapsed a different number of times
+    must still merge. resolve_from_bytes threads the factory's
+    on_overflow into partial deserialization (r4 ADVICE: the default
+    'error' deserializer made the merge stage raise alpha-mismatch, so
+    only tests that passed an explicit from_bytes exercised the
+    reconciling merge)."""
+    rng = np.random.default_rng(77)
+    vals = np.power(10.0, rng.uniform(-12, 12, 30000))
+    df = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(16)
+    out = sketch_agg(
+        df, "v",
+        factory=lambda: DDSketch(0.01, 32, on_overflow="collapse")).collect()
+    got = DDSketch.from_bytes(bytes(out[0]["sketch"]), on_overflow="collapse")
+    want = DDSketch(0.01, 32, on_overflow="collapse").update(vals)
+    assert got == want
+    assert got.alpha > 0.01          # collapse genuinely happened
+
+
+def test_table_cache_handle_reuse_and_invalidation(spark):
+    """_TABLE_CACHE pins: repeated _t calls reuse one plan handle (the
+    ~115 ms listing+schema cost is paid once per session) and
+    clear_table_cache drops the pin so a rewritten table re-lists."""
+    from ddsketch_spark import queries as qmod
+
+    d1 = qmod._t(spark, "/root/testdata/sf0.001", "lineitem")
+    d2 = qmod._t(spark, "/root/testdata/sf0.001", "lineitem")
+    assert d1 is d2
+    qmod.clear_table_cache()
+    d3 = qmod._t(spark, "/root/testdata/sf0.001", "lineitem")
+    assert d3 is not d1

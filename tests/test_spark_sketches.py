@@ -286,3 +286,21 @@ def test_kmv_spark_pipeline_equals_kernel(spark):
                          factory=lambda: KMV(256),
                          from_bytes=kmv_mod.from_bytes).collect()[0]
         assert kmv_mod.from_bytes(bytes(out["sketch"])) == want
+
+
+def test_kmv_user_overlap_empty_side(spark, tmp_path):
+    """kmv_user_overlap with ZERO rows on one side (tiny SF / changed
+    testdata) must return the oracle's empty-side zeros, not die with a
+    KeyError on the missing group (r4 ADVICE)."""
+    import pandas as pd
+
+    from ddsketch_spark.queries import kmv_user_overlap
+
+    pdf = pd.DataFrame({"event_type": ["click"] * 40,
+                        "user_id": list(range(40))})
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "events.parquet"))
+    row = kmv_user_overlap(spark, str(tmp_path)).collect()[0]
+    assert row["est_a"] == 40.0          # exact below capacity
+    assert row["est_b"] == 0.0
+    assert row["est_union"] == 40.0
+    assert row["est_inter"] == 0.0

@@ -502,3 +502,20 @@ def test_lsh_max_bucket_size_skips_hot_buckets(spark):
     cap = simhash_dup_pairs(df, max_bucket_size=8).collect()
     assert len(un) > len(cap)
     assert all(not (r["a"] < 12 and r["b"] < 12) for r in cap)
+
+
+def test_stratified_hash_sample_preserves_caller_rk_column(spark):
+    """A caller-owned __rk column must survive untouched: the window rank
+    uses a generated non-colliding temp name (r4 watch-item)."""
+    from ddsketch_spark.operators.textops import stratified_hash_sample
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "lang": ["en"] * 6 + ["de"] * 6,
+        "doc_id": list(range(12)),
+        "__rk": [100 + i for i in range(12)],
+    }))
+    out = stratified_hash_sample(df, ["lang"], "doc_id", 2)
+    rows = out.orderBy("doc_id").collect()
+    assert len(rows) == 4                      # quota 2 per lang
+    assert "__rk" in out.columns
+    assert all(r["__rk"] == 100 + r["doc_id"] for r in rows)
