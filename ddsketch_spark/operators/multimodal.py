@@ -2,15 +2,20 @@
 columns with typed metadata, processed through Arrow-batched ``mapInPandas``
 pipelines.
 
-The container has no image/audio codecs (Pillow/ffmpeg/torchaudio), so the
-actual decode step is STUBBED two ways (per the build brief):
+Decode coverage is layered by what the environment can support:
 
-- ``decode_image`` raises ``NotImplementedError`` unless a real decoder is
-  importable (import-gated), documenting the exact integration point;
-- ``fake_decode_image`` / ``fake_frame_sample`` / ``fake_audio_features``
-  are deterministic stand-ins that parse our synthetic container format,
-  so the Spark-side plumbing — schema, projection, batch shape, partition
-  behavior — is fully real and tested.
+- REAL formats, stdlib-only: uncompressed **BMP** (struct-parsed
+  BITMAPINFOHEADER, 8-bit paletted + 24-bit BGR) and **WAV** (RIFF PCM
+  via the ``wave`` module) decode natively in :func:`decode_image` /
+  :func:`decode_audio` — genuine containers exercise the same
+  ``mapInPandas`` pipelines as everything else.
+- Synthetic containers (``FAKEIMG1``/``FAKEAUD1``/``FAKEVID1``) remain
+  the oracle-checkable payloads: their content is SQL-rederivable, so the
+  driver value-checks the decode math end-to-end.
+- Formats needing codec libraries (JPEG/PNG/MP3/H.264 — Pillow/ffmpeg
+  absent in this sandbox) fall through to an import-gated Pillow hook and
+  otherwise raise ``NotImplementedError`` at the documented integration
+  point.
 
 Synthetic container format (``FAKEIMG1`` / ``FAKEAUD1`` / ``FAKEVID1``):
 an 8-byte magic, big-endian uint16 dims/rates, then raw payload bytes.
@@ -142,18 +147,131 @@ def synthesize_media_arith(spark, n_rows: int, seed: int = 7) -> DataFrame:
     return spark.range(0, n_rows, 1).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-# ------------------------------------------------------------- decode stubs
+# ------------------------------------------------------------- decoders
+#
+# Real container formats decodable with the stdlib alone (r4 verdict item
+# 3): BMP (BITMAPINFOHEADER, uncompressed BI_RGB — struct) and WAV (RIFF
+# PCM — the `wave` module). The decode dispatch is by magic bytes, so
+# genuine BMP/WAV payloads flow through the SAME mapInPandas pipelines as
+# the synthetic oracle containers; formats needing external codecs
+# (JPEG/PNG/MP3/...) fall through to an import-gated Pillow hook and an
+# explicit NotImplementedError otherwise.
+
+BMP_MAGIC = b"BM"
+WAV_MAGIC = b"RIFF"
+
+
+def encode_bmp_gray8(img: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 array as a GENUINE 8-bit grayscale BMP:
+    BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry gray palette +
+    4-byte-padded rows stored bottom-up — byte-for-byte the standard
+    on-disk format, used by tests to round-trip the real decoder."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    stride = (w + 3) & ~3
+    palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    offset = 14 + 40 + len(palette)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = img[::-1]          # bottom-up row order
+    px = rows.tobytes()
+    file_hdr = struct.pack("<2sIHHI", BMP_MAGIC, offset + len(px), 0, 0, offset)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(px),
+                           2835, 2835, 256, 0)
+    return file_hdr + info_hdr + palette + px
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB BMP decoder (struct + numpy): 8-bit paletted
+    (returns (h, w) gray when the palette is grayscale, else (h, w, 3)
+    RGB) and 24-bit BGR (returns (h, w, 3) RGB). Handles bottom-up
+    (height > 0) and top-down (height < 0) row order; RLE/bitfield
+    compression is out of scope and raises."""
+    if payload[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP payload")
+    _, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, w, h, planes, bpp, compression, _, _, _, colors_used,
+     _) = struct.unpack_from("<IiiHHIIiiII", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (method {compression}) not supported")
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 8:
+        n_colors = colors_used or 256
+        pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4,
+                            offset=14 + hdr_size).reshape(n_colors, 4)
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                             offset=offset).reshape(h, stride)[:, :w]
+        idx = rows if top_down else rows[::-1]
+        bgr = pal[idx][:, :, :3]
+        if np.all(bgr[..., 0] == bgr[..., 1]) and np.all(
+                bgr[..., 1] == bgr[..., 2]):
+            return np.ascontiguousarray(bgr[..., 0])     # grayscale palette
+        return np.ascontiguousarray(bgr[..., ::-1])      # BGR -> RGB
+    if bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                             offset=offset).reshape(h, stride)[:, :w * 3]
+        img = rows.reshape(h, w, 3)
+        img = img if top_down else img[::-1]
+        return np.ascontiguousarray(img[:, :, ::-1])     # BGR -> RGB
+    raise NotImplementedError(f"{bpp}-bit BMP not supported")
+
+
+def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM decoder via the stdlib ``wave`` module: returns
+    (sample_rate, samples) with samples int16 (sampwidth 2) or uint8
+    (sampwidth 1); multi-channel audio comes back as (n, channels)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 2:
+        a = np.frombuffer(frames, dtype="<i2").astype(np.int16)
+    elif width == 1:
+        a = np.frombuffer(frames, dtype=np.uint8)
+    else:
+        raise NotImplementedError(f"{8 * width}-bit WAV not supported")
+    return rate, (a.reshape(-1, nch) if nch > 1 else a)
+
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """REAL decoder integration point: swap in Pillow here. The sandbox has
-    no codec libraries, so this raises unless one is importable."""
+    """Image decode dispatch: genuine BMP (stdlib struct decoder),
+    synthetic FAKEIMG1, then an import-gated Pillow hook for formats
+    needing a real codec library (absent in this sandbox)."""
+    if payload[:2] == BMP_MAGIC:
+        return _decode_bmp(payload)
+    if payload[:8] == IMG_MAGIC:
+        return fake_decode_image(payload)
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
+        return np.asarray(PIL.Image.open(io.BytesIO(payload)))
     except ImportError as e:
         raise NotImplementedError(
-            "no image codec in this environment — use fake_decode_image for "
-            "the synthetic container format, or install Pillow") from e
-    raise NotImplementedError("real decoder wiring reserved for a codec-enabled env")
+            "unrecognized image container and no codec library in this "
+            "environment — BMP and FAKEIMG1 decode natively; install "
+            "Pillow for JPEG/PNG/...") from e
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Audio decode dispatch: genuine RIFF/WAVE PCM (stdlib ``wave``),
+    synthetic FAKEAUD1; compressed formats raise explicitly."""
+    if payload[:4] == WAV_MAGIC:
+        return _decode_wav(payload)
+    if payload[:8] == AUD_MAGIC:
+        return fake_decode_audio(payload)
+    raise NotImplementedError(
+        "unrecognized audio container — WAV and FAKEAUD1 decode natively; "
+        "compressed formats need an external codec")
 
 
 def fake_decode_image(payload: bytes) -> np.ndarray:
@@ -199,9 +317,11 @@ def extract_features(media: DataFrame, batch_feature_dim: int = 8) -> DataFrame:
                                           pdf["payload"]):
                 raw = bytes(payload)
                 if kind == "image":
-                    a = fake_decode_image(raw).astype(np.float64).ravel()
+                    # magic-dispatch: genuine BMP and synthetic FAKEIMG1
+                    # take the same path through the pipeline
+                    a = decode_image(raw).astype(np.float64).ravel()
                 elif kind == "audio":
-                    a = fake_decode_audio(raw)[1].astype(np.float64)
+                    a = decode_audio(raw)[1].astype(np.float64).ravel()
                 else:
                     a = fake_decode_video(raw).astype(np.float64).ravel()
                 chunks = np.array_split(a, dim)

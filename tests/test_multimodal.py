@@ -13,9 +13,111 @@ from ddsketch_spark.operators.multimodal import (
 )
 
 
-def test_real_decoder_is_stubbed():
+def test_decode_image_dispatch_and_codec_gate():
+    """decode_image dispatches by magic: FAKEIMG1 decodes via the
+    synthetic parser; a container needing a real codec library (PNG, no
+    Pillow in this sandbox) raises at the documented integration point."""
+    payload = encode_fake_image(4, 4, 1)
+    assert np.array_equal(decode_image(payload), fake_decode_image(payload))
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(encode_fake_image(4, 4, 1))
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+
+def test_bmp_gray8_roundtrip_byte_for_byte():
+    """A GENUINE 8-bit grayscale BMP (standard on-disk layout: file
+    header, BITMAPINFOHEADER, 256-entry palette, padded bottom-up rows)
+    round-trips through the stdlib struct decoder pixel-exact — including
+    a width that forces row padding (w=5 -> stride 8)."""
+    from ddsketch_spark.operators.multimodal import encode_bmp_gray8
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    raw = encode_bmp_gray8(img)
+    assert raw[:2] == b"BM"
+    # header fields are the real BMP layout, byte-for-byte
+    import struct as st
+    offset = st.unpack_from("<I", raw, 10)[0]
+    assert offset == 14 + 40 + 256 * 4
+    hdr_size, w, h, planes, bpp = st.unpack_from("<IiiHH", raw, 14)
+    assert (hdr_size, w, h, planes, bpp) == (40, 5, 7, 1, 8)
+    assert np.array_equal(decode_image(raw), img)
+
+
+def test_bmp_24bit_and_topdown_decode():
+    """24-bit BGR BMP built independently of our encoder (hand-packed in
+    the test), both bottom-up and top-down row orders."""
+    import struct as st
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)  # h=3, w=2, RGB
+    stride = (2 * 3 + 3) & ~3                              # 8 bytes
+    for top_down in (False, True):
+        rows = img if top_down else img[::-1]
+        # BGR triples with per-row padding to a 4-byte stride
+        px = b"".join(
+            b"".join(bytes(rows[r, c, ::-1]) for c in range(2)).ljust(
+                stride, b"\x00")
+            for r in range(3))
+        hdr = st.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 14 + 40)
+        info = st.pack("<IiiHHIIiiII", 40, 2, -3 if top_down else 3, 1, 24,
+                       0, len(px), 0, 0, 0, 0)
+        assert np.array_equal(decode_image(hdr + info + px), img)
+
+
+def test_wav_pcm16_roundtrip():
+    """A genuine RIFF/WAVE PCM-16 container written by the stdlib wave
+    module decodes sample-exact with the right rate."""
+    import io
+    import wave
+
+    from ddsketch_spark.operators.multimodal import decode_audio
+
+    rng = np.random.default_rng(5)
+    samples = rng.integers(-3000, 3000, 480, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(samples.tobytes())
+    rate, got = decode_audio(buf.getvalue())
+    assert rate == 16000
+    assert np.array_equal(got, samples)
+
+
+def test_extract_features_on_real_containers(spark):
+    """Genuine BMP and WAV payloads flow through the SAME mapInPandas
+    feature pipeline as the synthetic containers — the real-format decode
+    running distributed, not just in a unit test."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    from ddsketch_spark.operators.multimodal import encode_bmp_gray8
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    bmp = encode_bmp_gray8(img)
+    samples = np.arange(-400, 400, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1, 2], "kind": ["image", "audio"],
+        "payload": [bmp, wav]}))
+    out = {r["media_id"]: r for r in extract_features(df).collect()}
+    # feature = 8 chunk means of the decoded elements
+    assert out[1]["n_bytes"] == len(bmp)
+    np.testing.assert_allclose(
+        out[1]["feature"],
+        [c.mean() for c in np.array_split(img.astype(float).ravel(), 8)])
+    np.testing.assert_allclose(
+        out[2]["feature"],
+        [c.mean() for c in np.array_split(samples.astype(float), 8)])
 
 
 def test_fake_image_roundtrip():
