@@ -74,6 +74,7 @@ def main() -> None:
                                "dd_textlen_by_lang",
                                "ann_ivf_cosine_topk",
                                "tokens_topk_sketched",
+                               "tokens_topk_sketched_by_lang",
                                "dd_collapsed_quantiles_price",
                                "dd_sketch_store_roundtrip",
                                "kmv_user_overlap"] if n in QUERIES]

@@ -1051,6 +1051,164 @@ def tokens_topk_sketched(spark, sf_dir):
     return spark.createDataFrame(rows, "rk long, token string, ok boolean")
 
 
+TOPK_BY_LANG = 5
+
+
+def tokens_topk_sketched_by_lang(spark, sf_dir):
+    """lang, rk, token, ok — GROUPED heavy hitters via keyed SpaceSaving
+    (r4 verdict item 6): one mergeable O(capacity) summary PER LANGUAGE
+    through the standard ``sketch_agg(keys=['lang'])`` contract — the
+    per-stratum top-k a real pipeline runs (per-language vocabulary
+    pruning), with per-key state independent of that language's
+    vocabulary size. Job 2 is VERIFICATION only: the exact per-lang top-5
+    (tokens_top5_by_lang's window) checked against each language's
+    sketch (I1) envelope — monitored, cnt >= true, cnt - err <= true.
+    At 100 TB you ship each sketch's own topk() and skip job 2. Oracle =
+    exact per-lang top-5 identity with TRUE flags."""
+    from pyspark.sql.window import Window
+
+    from ddsketch_spark.core.spacesaving import SpaceSaving
+    from ddsketch_spark.core.spacesaving import from_bytes as ss_from_bytes
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = d.select("lang",
+                    F.explode(F.split(F.col("text"), " ")).alias("token"))
+    rows = sketch_agg(toks, "token", keys=["lang"],
+                      factory=lambda: SpaceSaving(TOPK_SS_CAPACITY),
+                      from_bytes=ss_from_bytes).collect()
+    sketches = {r["lang"]: ss_from_bytes(bytes(r["sketch"])) for r in rows}
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("token").asc())
+    truth = (toks.groupBy("lang", "token")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("rk", F.row_number().over(w).cast("long"))
+             .where(F.col("rk") <= TOPK_BY_LANG).collect())
+    out = []
+    for r in truth:
+        s = sketches.get(r["lang"])
+        e = s.get(r["token"]) if s is not None else None
+        ok = (e is not None and e[0] >= r["cnt"]
+              and e[0] - e[1] <= r["cnt"])
+        out.append((r["lang"], r["rk"], r["token"], bool(ok)))
+    return spark.createDataFrame(
+        out, "lang string, rk long, token string, ok boolean")
+
+
+def stream_sliding_p90_events(spark, sf_dir):
+    """wstart, event_type, q, est — SLIDING-window streaming sketch
+    maintenance through the driver (r4 verdict item 4): 1-hour windows
+    sliding every 15 minutes, so each event's bucket cells feed the FOUR
+    overlapping windows covering its timestamp — still entirely the
+    built-in watermarked streaming aggregation of
+    ``windowed_bucket_counts``, with state scaled by the 4x overlap
+    factor. Same file-replay + complete-mode-memory-sink pattern as
+    stream_windowed_p90_events; the oracle replays window MEMBERSHIP in
+    SQL (each row joins its four aligned window starts
+    ``(floor(epoch/900) - k) * 900``, k = 0..3) and recomputes the
+    kernel per (window, type), so wrong window assignment, a dropped
+    overlap, or a mangled cell hash-mismatches."""
+    import uuid as _uuid
+
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_window_sketches, windowed_bucket_counts)
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    cells = windowed_bucket_counts(stream, "ts", "value", "1 hour",
+                                   "30 minutes", alpha=0.05,
+                                   keys=["event_type"],
+                                   slide_duration="15 minutes")
+    name = "stream_slide_p90_" + _uuid.uuid4().hex[:12]
+    q = (cells.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = assemble_window_sketches(spark.table(name), 0.05, 1024,
+                                   keys=["event_type"])
+    out = got.select(
+        F.col("window_start").cast("long").alias("wstart"), "event_type",
+        F.lit(0.9).alias("q"),
+        sketch_quantile(F.col("sketch"), [0.9])[0].alias("est"))
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+HH_TOPK = 5
+HH_CAPACITY = 4096
+# scratch dirs owned by stream_heavy_hitters_events; separate list from
+# _OWNED_STORE_PATHS so neither query's cleanup can delete files a
+# still-lazy plan from the other query depends on
+_OWNED_STREAM_PATHS: list[str] = []
+
+
+def stream_heavy_hitters_events(spark, sf_dir):
+    """event_type, rk, item, ok — STREAMING heavy hitters through the
+    driver (r4 verdict item 5): the events table is split into 4 files
+    and replayed as four checkpointed micro-batches
+    (``maxFilesPerTrigger=1``) through ``stateful_heavy_hitters``
+    (applyInPandasWithState — one O(capacity) SpaceSaving summary per
+    event_type living in Spark's state store across batches). After the
+    final batch, each type's exact top-5 users (count desc, id-string
+    asc) must satisfy the sketch (I1) envelope — monitored, cnt >= true,
+    cnt - err <= true — against the key's LAST (cumulative) emission;
+    below capacity the summary is exact, so the multi-batch streamed
+    counts must EQUAL the batch counts. Oracle = exact per-type top-5
+    identity with TRUE flags."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql.window import Window
+
+    from ddsketch_spark.streaming.sketch_stream import stateful_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("item"))
+    for p in _OWNED_STREAM_PATHS:        # this process's prior runs only
+        shutil.rmtree(p, ignore_errors=True)
+    _OWNED_STREAM_PATHS.clear()
+    base = f"{SKETCH_STORE_ROOT}/hh_{_uuid.uuid4().hex[:12]}"
+    _OWNED_STREAM_PATHS.append(base)
+    src = f"{base}/src"
+    ev.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    hh = stateful_heavy_hitters(stream, "event_type", "item",
+                                k=HH_CAPACITY, capacity=HH_CAPACITY)
+    name = "stream_hh_" + _uuid.uuid4().hex[:12]
+    q = (hh.writeStream.outputMode("update").format("memory")
+         .queryName(name).option("checkpointLocation", f"{base}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    emitted = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    # a key's totals are strictly increasing across its emissions, so the
+    # max-total row is the final cumulative summary for that key
+    final: dict = {}
+    for r in emitted:
+        cur = final.get(r["event_type"])
+        if cur is None or r["total"] > cur["total"]:
+            final[r["event_type"]] = r
+    lookup = {
+        t: dict(zip(r["topk_items"], zip(r["topk_counts"], r["topk_errs"])))
+        for t, r in final.items()}
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("item").asc())
+    truth = (ev.groupBy("event_type", "item")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("rk", F.row_number().over(w).cast("long"))
+             .where(F.col("rk") <= HH_TOPK).collect())
+    rows = []
+    for r in truth:
+        e = lookup.get(r["event_type"], {}).get(r["item"])
+        ok = (e is not None and e[0] >= r["cnt"]
+              and e[0] - e[1] <= r["cnt"])
+        rows.append((r["event_type"], r["rk"], r["item"], bool(ok)))
+    return spark.createDataFrame(
+        rows, "event_type string, rk long, item string, ok boolean")
+
+
 RESIZE_W, RESIZE_H, FRAME_EVERY = 16, 4, 2
 
 
@@ -1102,56 +1260,55 @@ def ann_ivf_cosine_topk(spark, sf_dir):
 
 
 # Catalog order is a DRIVER CONTRACT: the correctness driver checks the
-# FIRST 50 entries, so the top 50 must cover every operator family's
-# newest row (r3 verdict item 1 — ann_ivf/multimodal/pipeline rows fell
-# past the cap when the catalog grew). Entries below the
-# "driver-cap overflow tail" marker are rows whose operator is fully
-# covered by an in-top-50 sibling (e.g. the weighted build path by
-# dd_p50_weighted_price / dd_rank_weighted_price, the sibling-sketch
-# merge laws by hll_reagg + pytest merge tests); they stay in the catalog
-# — tools/verify_contract.py still checks ALL of them — but absorb the
-# cap overflow.
+# FIRST 50 entries; tools/verify_contract.py still checks ALL entries at
+# three SFs. ROTATION POLICY (r4 verdict item 2): the catalog (63 rows)
+# exceeds the 50-row cap, so each round the tail is restocked with rows
+# that got a driver row LAST round — no row may sit in the tail two
+# consecutive rounds. This round (r5): the 10 rows that were tail in r4
+# are back in the top 50, joined by the 3 NEW rows
+# (tokens_topk_sketched_by_lang, stream_sliding_p90_events,
+# stream_heavy_hitters_events); 13 rows driver-checked green in r4 absorb
+# the overflow. NEXT round: swap the current tail back into the top 50.
 QUERIES: dict[str, Callable] = {
     # --- DDSketch family
-    "dd_quantiles_price_global": dd_quantiles_price_global,
     "dd_quantiles_price_by_flag": dd_quantiles_price_by_flag,
-    "dd_p50_weighted_price": dd_p50_weighted_price,
-    "dd_rank_price_50k": dd_rank_price_50k,
+    "dd_quantiles_weighted_price": dd_quantiles_weighted_price,
+    "dd_rank_array_price": dd_rank_array_price,
+    "dd_rank_array_weighted_price": dd_rank_array_weighted_price,
     "dd_buckets_price": dd_buckets_price,
     "dd_info_price": dd_info_price,
-    "dd_trimmed_avg_price": dd_trimmed_avg_price,
-    "dd_trimmed_sum_price": dd_trimmed_sum_price,
+    "dd_trimmed_weighted_price": dd_trimmed_weighted_price,
     "dd_trimmed_centered_correct": dd_trimmed_centered_correct,
     "dd_reagg_p90_by_flag": dd_reagg_p90_by_flag,
     "dd_collapsed_quantiles_price": dd_collapsed_quantiles_price,
     "dd_sketch_store_roundtrip": dd_sketch_store_roundtrip,
     "dd_textlen_by_lang": dd_textlen_by_lang,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
-    "dd_quantiles_price_centered": dd_quantiles_price_centered,
+    "dd_p90_events_hourly": dd_p90_events_hourly,
     "dd_quantiles_qty_preagg": dd_quantiles_qty_preagg,
-    "dd_rank_weighted_price": dd_rank_weighted_price,
     "dd_incremental_add_union": dd_incremental_add_union,
-    "dd_rank_from_sketches_by_flag": dd_rank_from_sketches_by_flag,
-    "dd_trimmed_sum_from_sketches": dd_trimmed_sum_from_sketches,
+    "dd_trimmed_avg_from_sketches": dd_trimmed_avg_from_sketches,
     # --- sibling sketches
     "hll_ndv_orderkeys": hll_ndv_orderkeys,
-    "hll_ndv_users_by_type": hll_ndv_users_by_type,
     "hll_reagg_users_by_type": hll_reagg_users_by_type,
     "kmv_user_overlap": kmv_user_overlap,
     "stream_windowed_p90_events": stream_windowed_p90_events,
+    "stream_sliding_p90_events": stream_sliding_p90_events,
+    "stream_heavy_hitters_events": stream_heavy_hitters_events,
     "cms_freq_event_types": cms_freq_event_types,
-    "cms_freq_weighted_event_types": cms_freq_weighted_event_types,
+    "cms_reagg_event_types": cms_reagg_event_types,
     "bloom_member_orderkeys": bloom_member_orderkeys,
+    "bloom_reagg_orderkeys": bloom_reagg_orderkeys,
     "kll_rank_bound_price": kll_rank_bound_price,
-    "kll_weighted_rank_bound_price": kll_weighted_rank_bound_price,
     "tdigest_rank_bound_price": tdigest_rank_bound_price,
+    "tdigest_weighted_rank_bound_price": tdigest_weighted_rank_bound_price,
     # --- dedup / sampling / text
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_simhash_pairs": dedup_simhash_pairs,
-    "dedup_cosine_pairs": dedup_cosine_pairs,
+    "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_cosine_pairs_lsh": dedup_cosine_pairs_lsh,
     "sample_docs_deterministic": sample_docs_deterministic,
     "sample_docs_stratified": sample_docs_stratified,
@@ -1159,6 +1316,7 @@ QUERIES: dict[str, Callable] = {
     "tokens_top10": tokens_top10,
     "tokens_top5_by_lang": tokens_top5_by_lang,
     "tokens_topk_sketched": tokens_topk_sketched,
+    "tokens_topk_sketched_by_lang": tokens_topk_sketched_by_lang,
     # --- similarity / multimodal / pipeline
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
@@ -1166,17 +1324,21 @@ QUERIES: dict[str, Callable] = {
     "multimodal_feature_stats": multimodal_feature_stats,
     "multimodal_resize_frame_stats": multimodal_resize_frame_stats,
     "pipeline_prepared_docs": pipeline_prepared_docs,
-    # --- driver-cap overflow tail (covered by in-top-50 siblings) ---
-    "dd_quantiles_weighted_price": dd_quantiles_weighted_price,
-    "dd_rank_array_weighted_price": dd_rank_array_weighted_price,
-    "dd_trimmed_weighted_price": dd_trimmed_weighted_price,
-    "dd_trimmed_avg_from_sketches": dd_trimmed_avg_from_sketches,
-    "cms_reagg_event_types": cms_reagg_event_types,
-    "bloom_reagg_orderkeys": bloom_reagg_orderkeys,
-    "tdigest_weighted_rank_bound_price": tdigest_weighted_rank_bound_price,
-    "dedup_simhash_docs": dedup_simhash_docs,
-    "dd_p90_events_hourly": dd_p90_events_hourly,
-    "dd_rank_array_price": dd_rank_array_price,
+    # --- driver-cap overflow tail: all 13 were driver-checked green in
+    # --- r4 (CORRECTNESS_r04.json); rotate back into the top 50 in r6 ---
+    "dd_quantiles_price_global": dd_quantiles_price_global,
+    "dd_p50_weighted_price": dd_p50_weighted_price,
+    "dd_rank_price_50k": dd_rank_price_50k,
+    "dd_trimmed_avg_price": dd_trimmed_avg_price,
+    "dd_trimmed_sum_price": dd_trimmed_sum_price,
+    "dd_quantiles_price_centered": dd_quantiles_price_centered,
+    "dd_rank_weighted_price": dd_rank_weighted_price,
+    "dd_rank_from_sketches_by_flag": dd_rank_from_sketches_by_flag,
+    "dd_trimmed_sum_from_sketches": dd_trimmed_sum_from_sketches,
+    "hll_ndv_users_by_type": hll_ndv_users_by_type,
+    "cms_freq_weighted_event_types": cms_freq_weighted_event_types,
+    "kll_weighted_rank_bound_price": kll_weighted_rank_bound_price,
+    "dedup_cosine_pairs": dedup_cosine_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1283,6 +1445,25 @@ ORACLES: dict[str, str] = {
         "(SELECT *, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)"
         " AS wstart FROM events) evw", "value", 0.05, [0.9],
         keys=["wstart", "event_type"]),
+    # sliding windows: each event belongs to the FOUR slide-aligned 1h
+    # windows covering its timestamp — wstart = (floor(epoch/900) - k)*900
+    # for k = 0..3; the join replays Spark's window membership exactly
+    "stream_sliding_p90_events": oracles.percentile_sql(
+        "(SELECT e.*, CAST((floor(epoch(e.ts) / 900) - g.k) * 900"
+        " AS BIGINT) AS wstart FROM events e"
+        " CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) g) evw",
+        "value", 0.05, [0.9], keys=["wstart", "event_type"]),
+    # exact per-type top-5 identity + TRUE bound flags: a streaming
+    # summary that lost a hitter or violated its own (I1) envelope flips
+    # ok (or drops the item) and the hash compare fails
+    "stream_heavy_hitters_events": (
+        "SELECT event_type, rk, item, TRUE AS ok FROM ("
+        "  SELECT event_type, CAST(user_id AS VARCHAR) AS item,"
+        "         CAST(row_number() OVER (PARTITION BY event_type"
+        "           ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) ASC)"
+        "         AS BIGINT) AS rk"
+        "  FROM events GROUP BY event_type, user_id) t"
+        f" WHERE rk <= {HH_TOPK}"),
     "cms_reagg_event_types": oracles.cms_freq_sql(
         "events", "event_type", 5, 2048, CMS_PROBES),
     "cms_freq_weighted_event_types": oracles.cms_freq_sql(
@@ -1335,6 +1516,14 @@ ORACLES: dict[str, str] = {
         "  FROM (SELECT unnest(string_split(text, ' ')) AS token"
         "        FROM documents) GROUP BY token) t"
         f" WHERE rk <= {TOPK_TOKENS}"),
+    # per-lang exact top-5 identity + TRUE bound flags (keyed SpaceSaving)
+    "tokens_topk_sketched_by_lang": (
+        "SELECT lang, rk, token, TRUE AS ok FROM ("
+        "  SELECT lang, token, CAST(row_number() OVER (PARTITION BY lang"
+        "    ORDER BY count(*) DESC, token ASC) AS BIGINT) AS rk"
+        "  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token"
+        "        FROM documents) GROUP BY lang, token) t"
+        f" WHERE rk <= {TOPK_BY_LANG}"),
     "ann_cosine_topk": oracles.ann_topk_sql(ANN_N_QUERIES, ANN_K),
     "ann_lsh_cosine_topk": oracles.ann_lsh_topk_sql(ANN_N_QUERIES, ANN_K),
     "ann_ivf_cosine_topk": oracles.ann_ivf_topk_sql(
