@@ -175,6 +175,12 @@ def main() -> None:
         # r2 2.3x, r3 2.55x)
         "skew_merge": {"single_round_sec": 2.362, "salted_fanout_sec": 1.362,
                        "map_combine_sec": 0.91, "speedup": 2.6},
+        # Arrow-pipeline sketches priced vs the JVM-native stage 1
+        # (tools/sketch_stage1_bench.py, 64M docs, local[16],
+        # interleaved best-of-3 — r5 measurement; table in
+        # BENCH/BASELINE.md)
+        "stage1_docs_per_sec_64m_local16": {
+            "ddsketch_native": 6093013, "kll": 3339232, "tdigest": 3268557},
         "scaling_evidence": "BENCH/BASELINE.md",
         # no Iceberg runtime jar ships in this sandbox (no network):
         # table layer proven format-agnostic in

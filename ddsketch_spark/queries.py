@@ -603,6 +603,107 @@ def stream_windowed_p90_events(spark, sf_dir):
     return out
 
 
+SESSION_GAP_SECONDS = 1800
+SESSION_SENTINEL_UID = -1
+
+
+def stream_sessionized_p90_clicks(spark, sf_dir):
+    """key, sstart, send, q, est — per-user SESSION-window streaming
+    sketch maintenance through the driver: click events sessionized per
+    user with a 30-minute inactivity gap (``sessionized_bucket_counts``
+    — cells ride inside the built-in session aggregation, since session
+    windows merge per grouping key), replayed as two micro-batches (data
+    file, then a far-future sentinel that advances the watermark so
+    every real session finalizes in append mode — the
+    test_sessionized_sketch_cells pattern), assembled to one DDSketch
+    per finalized session and p90-extracted. The oracle re-derives the
+    identical sessionization in SQL (gaps-and-islands: break where the
+    in-user timestamp gap >= 1800 s; session end = last event + gap) and
+    replays the kernel per (user, session) — wrong session boundaries,
+    merged/split sessions, or mangled cells all hash-mismatch."""
+    import datetime as _dt
+    import time as _time
+    import uuid as _uuid
+
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_session_sketches, sessionized_bucket_counts)
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("ts").cast("timestamp").alias("ts"),
+                      F.col("user_id").cast("long").alias("k"),
+                      F.col("value").cast("double").alias("v")))
+    base = f"{SKETCH_STORE_ROOT}/sess_{_uuid.uuid4().hex[:12]}"
+    _OWNED_STREAM_PATHS.append(base)
+    src = f"{base}/src"
+    clicks.coalesce(4).write.parquet(src)
+    max_ts = clicks.agg(F.max("ts")).collect()[0][0]
+    _time.sleep(1.2)     # file-source batches order by modification time
+    sentinel = spark.createDataFrame(
+        [(max_ts + _dt.timedelta(days=30),
+          SESSION_SENTINEL_UID, 0.0)], schema=clicks.schema)
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(clicks.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cells = sessionized_bucket_counts(stream, "ts", "k", "v",
+                                      f"{SESSION_GAP_SECONDS} seconds",
+                                      "30 minutes", alpha=0.05)
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+    q = (cells.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination()
+
+    sessions = assemble_session_sketches(
+        spark.read.parquet(out_dir), 0.05, 1024)
+    out = (sessions
+           .where(F.col("key") != SESSION_SENTINEL_UID)
+           .select(F.col("key"),
+                   F.col("session_start").cast("long").alias("sstart"),
+                   F.col("session_end").cast("long").alias("send"),
+                   F.lit(0.9).alias("q"),
+                   sketch_quantile(F.col("sketch"), [0.9])[0].alias("est")))
+    # materialize before returning: the plan must not depend on the
+    # scratch dir a later invocation's cleanup deletes
+    return out.localCheckpoint(eager=True)
+
+
+def stream_windowed_hll_users(spark, sf_dir):
+    """wstart, ndv_est — streaming windowed DISTINCT COUNT through the
+    driver: per-hour distinct users via the JVM-native windowed HLL cell
+    aggregation (register max is a built-in watermarked streaming agg —
+    ``windowed_hll_cells``, zero Python in the hot path), assembled to
+    binary HLL sketches per finalized window and estimated. The oracle
+    recomputes the identical HLL register math in SQL keyed by the
+    arithmetic hour bucket, so a register lost or mis-maxed across
+    micro-batch state hash-mismatches."""
+    import uuid as _uuid
+
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_window_hll, windowed_hll_cells)
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .select("ts", spark_h64("user_id").alias("h")))
+    cells = windowed_hll_cells(stream, "ts", "h", "1 hour", "30 minutes",
+                               p=12)
+    name = "stream_hll_" + _uuid.uuid4().hex[:12]
+    q = (cells.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = assemble_window_hll(spark.table(name), p=12)
+    out = got.select(
+        F.col("window_start").cast("long").alias("wstart"),
+        F.round(hll_estimate(F.col("sketch")), 4).alias("ndv_est"))
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 KMV_K = 64
 
 
@@ -1294,6 +1395,8 @@ QUERIES: dict[str, Callable] = {
     "kmv_user_overlap": kmv_user_overlap,
     "stream_windowed_p90_events": stream_windowed_p90_events,
     "stream_sliding_p90_events": stream_sliding_p90_events,
+    "stream_sessionized_p90_clicks": stream_sessionized_p90_clicks,
+    "stream_windowed_hll_users": stream_windowed_hll_users,
     "stream_heavy_hitters_events": stream_heavy_hitters_events,
     "cms_freq_event_types": cms_freq_event_types,
     "cms_reagg_event_types": cms_reagg_event_types,
@@ -1322,10 +1425,11 @@ QUERIES: dict[str, Callable] = {
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
     "ann_ivf_cosine_topk": ann_ivf_cosine_topk,
     "multimodal_feature_stats": multimodal_feature_stats,
+    # --- driver-cap overflow tail (51-65): all 15 were driver-checked
+    # --- green in r4 (CORRECTNESS_r04.json); rotate back into the top
+    # --- 50 in r6 so no row goes two consecutive rounds unchecked ---
     "multimodal_resize_frame_stats": multimodal_resize_frame_stats,
     "pipeline_prepared_docs": pipeline_prepared_docs,
-    # --- driver-cap overflow tail: all 13 were driver-checked green in
-    # --- r4 (CORRECTNESS_r04.json); rotate back into the top 50 in r6 ---
     "dd_quantiles_price_global": dd_quantiles_price_global,
     "dd_p50_weighted_price": dd_p50_weighted_price,
     "dd_rank_price_50k": dd_rank_price_50k,
@@ -1453,6 +1557,32 @@ ORACLES: dict[str, str] = {
         " AS BIGINT) AS wstart FROM events e"
         " CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) g) evw",
         "value", 0.05, [0.9], keys=["wstart", "event_type"]),
+    # gaps-and-islands replay of Spark's per-user session windows (break
+    # where the in-user gap >= 1800 s; session end = last event + gap),
+    # then the percentile kernel per (user, session): wrong boundaries,
+    # merged/split sessions, or mangled carried cells all hash-mismatch
+    "stream_sessionized_p90_clicks": oracles.percentile_sql(
+        "(SELECT key,"
+        " CAST(floor(epoch(min(ts) OVER (PARTITION BY key, sid)))"
+        "   AS BIGINT) AS sstart,"
+        " CAST(floor(epoch(max(ts) OVER (PARTITION BY key, sid))"
+        f"   + {SESSION_GAP_SECONDS}) AS BIGINT) AS send, v FROM"
+        " (SELECT key, ts, v, sum(brk) OVER (PARTITION BY key ORDER BY ts"
+        "    ROWS UNBOUNDED PRECEDING) AS sid FROM"
+        "  (SELECT key, ts, v,"
+        "    CASE WHEN lag(ts) OVER (PARTITION BY key ORDER BY ts) IS NULL"
+        "      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY key"
+        f"       ORDER BY ts)) >= {SESSION_GAP_SECONDS}"
+        "      THEN 1 ELSE 0 END AS brk FROM"
+        "   (SELECT CAST(user_id AS BIGINT) AS key, ts,"
+        "     CAST(value AS DOUBLE) AS v FROM events"
+        "    WHERE event_type = 'click') c) m) s) sess",
+        "v", 0.05, [0.9], keys=["key", "sstart", "send"]),
+    # identical HLL register math keyed by the arithmetic hour bucket: a
+    # register lost or mis-maxed across micro-batch state hash-mismatches
+    "stream_windowed_hll_users": oracles.hll_ndv_sql(
+        "(SELECT *, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)"
+        " AS wstart FROM events) evw", "user_id", p=12, keys=["wstart"]),
     # exact per-type top-5 identity + TRUE bound flags: a streaming
     # summary that lost a hitter or violated its own (I1) envelope flips
     # ok (or drops the item) and the hash compare fails

@@ -521,6 +521,31 @@ def assemble_window_hll(cell_rows: DataFrame, p: int = 12) -> DataFrame:
             .applyInPandas(assemble, schema=out_schema))
 
 
+def assemble_session_sketches(
+    session_rows: DataFrame,
+    alpha: float = 0.01,
+    nbuckets: int = 2048,
+) -> DataFrame:
+    """Batch post-processing of :func:`sessionized_bucket_counts` output
+    (read back from the sink): ``key, session_start, session_end, sketch
+    binary, n`` — explode each finalized session's carried cells into
+    (part, bidx) counts and assemble one binary DDSketch per session
+    (the session-window sibling of :func:`assemble_window_sketches`,
+    whose grouped assembly it reuses)."""
+    counts = (session_rows
+              .select("key",
+                      F.col("session_start").alias("window_start"),
+                      F.col("session_end").alias("window_end"),
+                      F.explode("cells").alias("c"))
+              .groupBy("key", "window_start", "window_end",
+                       F.col("c.part").alias("__part"),
+                       F.col("c.bidx").alias("__bidx"))
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    out = assemble_window_sketches(counts, alpha, nbuckets, keys=["key"])
+    return (out.withColumnRenamed("window_start", "session_start")
+            .withColumnRenamed("window_end", "session_end"))
+
+
 def sessionized_bucket_counts(
     stream_df: DataFrame,
     ts_col: str,
