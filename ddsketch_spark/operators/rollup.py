@@ -1,0 +1,139 @@
+"""Hypertable-style continuous-aggregate rollups over sketch tables.
+
+The reference extension's flagship deployment pattern (README.md:121-139:
+"store one sketch per group, re-aggregate later") extended with the time
+dimension it is built for in practice (continuous aggregates): keep ONE
+sketch row per (time bucket, dimension) in a stored table, then answer
+
+* any COARSER time grain (hourly table -> daily/weekly answers), and
+* any ALIGNED time RANGE (p95 over [t0, t1)),
+
+by merging the kilobyte partials — never rescanning raw data. Merge
+associativity (tests/test_sketches.py) is exactly what makes the rollup
+answer bit-identical to a direct build at the coarser grain.
+
+100 TB shape: the fine sketch table is O(buckets x keys) kilobyte rows —
+six orders of magnitude smaller than the raw events. Building it is one
+partial-aggregated groupBy over the raw scan (the JVM-native bucket-cell
+path, operators/native.py); every question afterwards touches only the
+tiny table: a rollup is one shuffle of kB rows, and a range query's
+bucket predicate pushes down to the stored table's parquet scan so only
+in-range partials are read at all.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import DoubleType, StructField
+
+from ddsketch_spark.operators import api
+from ddsketch_spark.operators.aggregate import (
+    merge_sketches, merge_sketches_extract,
+)
+
+__all__ = [
+    "time_bucket", "build_sketch_table", "rollup", "range_percentile",
+]
+
+
+def time_bucket(ts_col: str | Column, granularity_seconds: int) -> Column:
+    """Bucket start as epoch seconds (LongType): ``floor(epoch(ts) / g) * g``.
+
+    Long epoch keys (not timestamps) keep the bucket column an exact
+    integer for equality joins / range predicates and make the oracle
+    arithmetic identical on any SQL engine. TIMESTAMP_NTZ columns are
+    cast through TIMESTAMP, which reads the wall clock in the session
+    timezone — plans.session.get_spark pins that to UTC, matching
+    engines that treat naive timestamps as UTC instants."""
+    if granularity_seconds < 1:
+        raise ValueError("granularity_seconds must be >= 1")
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    g = int(granularity_seconds)
+    return (F.floor(c.cast("timestamp").cast("double") / g) * g).cast("long")
+
+
+def build_sketch_table(df: DataFrame, ts_col: str, value_col: str,
+                       alpha: float, nbuckets: int,
+                       granularity_seconds: int,
+                       keys: Sequence[str] = (),
+                       weight_col: str | None = None,
+                       bucket_col: str = "bucket") -> DataFrame:
+    """Fine-grained sketch table: ``bucket, keys..., sketch, n`` — one
+    row per (time bucket, key). One partial-aggregated pass over the raw
+    data (JVM-native bucket cells); persist with sources.tables.write_table
+    partitioned however the bucket cardinality suggests."""
+    keys = list(keys)
+    base = df.select(
+        time_bucket(ts_col, granularity_seconds).alias(bucket_col),
+        *keys, value_col,
+        *( [weight_col] if weight_col else [] ))
+    return api.ddsketch(base, value_col, alpha, nbuckets,
+                        keys=[bucket_col] + keys, weight_col=weight_col)
+
+
+def _check_multiple(coarse: int, fine: int) -> None:
+    if coarse % fine != 0 or coarse < fine:
+        raise ValueError(
+            f"coarse granularity {coarse}s must be a positive multiple of "
+            f"the table's fine granularity {fine}s — otherwise a fine "
+            f"bucket would straddle two coarse buckets and the rollup "
+            f"could not equal a direct build")
+
+
+def rollup(sketch_table: DataFrame, coarse_granularity_seconds: int,
+           fine_granularity_seconds: int, keys: Sequence[str] = (),
+           bucket_col: str = "bucket") -> DataFrame:
+    """Coarsen a sketch table: merge fine buckets into
+    ``coarse_granularity_seconds`` buckets — ``bucket, keys..., sketch,
+    n`` again, so rollups chain (hourly -> daily -> weekly). The merge
+    is the reference's N-way ``ddsketch(sketch)`` per coarse bucket; one
+    shuffle of kilobyte rows."""
+    g = int(coarse_granularity_seconds)
+    _check_multiple(g, int(fine_granularity_seconds))
+    keys = list(keys)
+    coarse = sketch_table.withColumn(
+        bucket_col, F.col(bucket_col) - F.pmod(F.col(bucket_col), F.lit(g)))
+    return merge_sketches(coarse, "sketch", keys=[bucket_col] + keys)
+
+
+def _epoch(t: "int | dt.datetime") -> int:
+    if isinstance(t, dt.datetime):
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=dt.timezone.utc)
+        return int(t.timestamp())
+    return int(t)
+
+
+def range_percentile(sketch_table: DataFrame, t0, t1, qs: Sequence[float],
+                     fine_granularity_seconds: int,
+                     keys: Sequence[str] = (),
+                     bucket_col: str = "bucket") -> DataFrame:
+    """Quantiles over an aligned time range from stored partials:
+    ``keys..., q, est`` for raw-value timestamps in ``[t0, t1)``.
+
+    ``t0``/``t1`` (epoch seconds or naive-UTC datetimes) must be aligned
+    to the table's fine granularity — then bucket membership equals raw
+    timestamp membership and the answer is bit-identical to sketching the
+    raw rows in the range. The bucket predicate is a plain column filter,
+    so on a stored table it pushes down to the parquet scan: only
+    in-range kB rows are ever read."""
+    e0, e1 = _epoch(t0), _epoch(t1)
+    fine = int(fine_granularity_seconds)
+    if e0 % fine or e1 % fine:
+        raise ValueError(
+            f"range [{e0}, {e1}) must be aligned to the table's "
+            f"{fine}s buckets — an unaligned edge would need the raw "
+            f"rows of the straddled bucket, which the table no longer has")
+    if e1 <= e0:
+        raise ValueError("empty range: t1 must be > t0")
+    qs = [float(q) for q in qs]
+    in_range = sketch_table.where(
+        (F.col(bucket_col) >= e0) & (F.col(bucket_col) < e1))
+    return merge_sketches_extract(
+        in_range, "sketch", list(keys),
+        lambda s: {"q": qs, "est": [float(e) for e in s.quantile(qs)]},
+        [StructField("q", DoubleType(), False),
+         StructField("est", DoubleType(), True)])

@@ -7,6 +7,7 @@ bit-for-bit. Column aliases match on both sides by construction.
 
 from __future__ import annotations
 
+import datetime as dt
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -443,6 +444,49 @@ def dd_p90_events_hourly(spark, sf_dir):
               .cast("long"))
     return quantile_rows(df, "value", 0.05, 1024, [0.9],
                          keys=["hr", "event_type"])
+
+
+ROLLUP_RANGE = (dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 22))
+
+
+def dd_rollup_daily_p90_events(spark, sf_dir):
+    """day, event_type, q, est — hypertable-style continuous aggregate
+    (operators/rollup.py): build the HOURLY sketch table of event values
+    per type (one kB row per hour x type — the stored representation),
+    roll it up to DAILY by merging the hourly partials, and extract p90
+    per (day, type). The oracle sketches the raw rows directly at the
+    daily grain, so the row pins that rollup-of-partials == direct build
+    (merge associativity through a real time rollup), not just that some
+    number comes out."""
+    from ddsketch_spark.operators.rollup import build_sketch_table, rollup
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = build_sketch_table(ev, "ts", "value", 0.05, 1024, 3600,
+                                keys=["event_type"])
+    daily = rollup(hourly, 86400, 3600, keys=["event_type"])
+    return daily.select(
+        F.col("bucket").alias("day"), "event_type",
+        F.lit(0.9).alias("q"),
+        sketch_quantile(F.col("sketch"), [0.9])[0].alias("est"))
+
+
+def dd_range_p95_from_hourly(spark, sf_dir):
+    """event_type, q, est — aligned time-RANGE quantiles answered purely
+    from stored hourly partials (operators/rollup.py.range_percentile):
+    p50/p95 of value per type for ts in [2024-01-08, 2024-01-22), merging
+    only the in-range kB sketch rows (the bucket predicate is a plain
+    column filter — pushed to the scan on a stored table). The oracle
+    sketches the raw rows of the same interval, pinning that bucket
+    membership == raw-timestamp membership at aligned edges."""
+    from ddsketch_spark.operators.rollup import (
+        build_sketch_table, range_percentile)
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = build_sketch_table(ev, "ts", "value", 0.05, 1024, 3600,
+                                keys=["event_type"])
+    t0, t1 = ROLLUP_RANGE
+    return range_percentile(hourly, t0, t1, [0.5, 0.95], 3600,
+                            keys=["event_type"])
 
 
 # --------------------------------------------------------------------------
@@ -1386,6 +1430,8 @@ QUERIES: dict[str, Callable] = {
     "dd_textlen_by_lang": dd_textlen_by_lang,
     "dd_quantiles_events_by_type": dd_quantiles_events_by_type,
     "dd_p90_events_hourly": dd_p90_events_hourly,
+    "dd_rollup_daily_p90_events": dd_rollup_daily_p90_events,
+    "dd_range_p95_from_hourly": dd_range_p95_from_hourly,
     "dd_quantiles_qty_preagg": dd_quantiles_qty_preagg,
     "dd_incremental_add_union": dd_incremental_add_union,
     "dd_trimmed_avg_from_sketches": dd_trimmed_avg_from_sketches,
@@ -1423,11 +1469,11 @@ QUERIES: dict[str, Callable] = {
     # --- similarity / multimodal / pipeline
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
-    "ann_ivf_cosine_topk": ann_ivf_cosine_topk,
-    "multimodal_feature_stats": multimodal_feature_stats,
-    # --- driver-cap overflow tail (51-65): all 15 were driver-checked
+    # --- driver-cap overflow tail (51-67): all 17 were driver-checked
     # --- green in r4 (CORRECTNESS_r04.json); rotate back into the top
     # --- 50 in r6 so no row goes two consecutive rounds unchecked ---
+    "ann_ivf_cosine_topk": ann_ivf_cosine_topk,
+    "multimodal_feature_stats": multimodal_feature_stats,
     "multimodal_resize_frame_stats": multimodal_resize_frame_stats,
     "pipeline_prepared_docs": pipeline_prepared_docs,
     "dd_quantiles_price_global": dd_quantiles_price_global,
@@ -1491,6 +1537,19 @@ ORACLES: dict[str, str] = {
         keys=["hr", "event_type"]),
     "dd_quantiles_qty_preagg": oracles.percentile_sql(
         "lineitem", "l_quantity", 0.01, [0.25, 0.5, 0.9]),
+    # continuous-aggregate rollup: the oracle sketches the raw rows at
+    # the DAILY grain directly — equal only if hourly->daily partial
+    # merging is associativity-exact
+    "dd_rollup_daily_p90_events": oracles.percentile_sql(
+        "(SELECT *, CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)"
+        " AS day FROM events) evd", "value", 0.05, [0.9],
+        keys=["day", "event_type"]),
+    # aligned range query from stored hourly partials: oracle sketches
+    # the raw rows of the same [t0, t1) interval
+    "dd_range_p95_from_hourly": oracles.percentile_sql(
+        "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'"
+        " AND ts < TIMESTAMP '2024-01-22 00:00:00') evr",
+        "value", 0.05, [0.5, 0.95], keys=["event_type"]),
     "dd_quantiles_price_centered": oracles.percentile_sql(
         "lineitem", "(l_extendedprice - 51000.0)", 0.05,
         [0.1, 0.5, 0.9]),

@@ -1,0 +1,100 @@
+"""Hypertable-style rollup layer (operators/rollup.py): coarsening a
+fine-grained sketch table and answering aligned range queries from the
+stored partials must be BIT-IDENTICAL to direct builds at the target
+grain — merge associativity driven through the real time dimension.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddsketch_spark.operators.api import ddsketch as dd_api
+from ddsketch_spark.operators.rollup import (
+    build_sketch_table, range_percentile, rollup, time_bucket,
+)
+
+ALPHA, NB = 0.05, 1024
+HOUR, DAY = 3600, 86400
+T0 = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rng = np.random.default_rng(7)
+    n = 20_000
+    secs = rng.integers(0, 10 * DAY, n)           # 10 days of events
+    pdf = pd.DataFrame({
+        "ts": pd.Timestamp(T0).tz_localize(None)
+              + pd.to_timedelta(secs, unit="s"),
+        "etype": rng.choice(["a", "b", "c"], n),
+        "v": rng.lognormal(2.0, 1.0, n),
+    })
+    pdf.loc[::71, "v"] = None                     # NULL routing through
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def by_key(df, keycols):
+    return {tuple(r[k] for k in keycols): bytes(r["sketch"])
+            for r in df.collect()}
+
+
+def test_rollup_equals_direct_daily(events):
+    df, _ = events
+    hourly = build_sketch_table(df, "ts", "v", ALPHA, NB, HOUR,
+                                keys=["etype"])
+    daily = rollup(hourly, DAY, HOUR, keys=["etype"])
+    direct = dd_api(
+        df.select(time_bucket("ts", DAY).alias("bucket"), "etype", "v"),
+        "v", ALPHA, NB, keys=["bucket", "etype"])
+    got = by_key(daily, ["bucket", "etype"])
+    want = by_key(direct, ["bucket", "etype"])
+    assert got.keys() == want.keys() and len(got) >= 20
+    assert all(got[k] == want[k] for k in want)   # canonical bytes
+
+
+def test_rollup_chains(events):
+    """hourly -> daily -> 2-day == hourly -> 2-day (rollups compose)."""
+    df, _ = events
+    hourly = build_sketch_table(df, "ts", "v", ALPHA, NB, HOUR,
+                                keys=["etype"])
+    via_daily = rollup(rollup(hourly, DAY, HOUR, keys=["etype"]),
+                       2 * DAY, DAY, keys=["etype"])
+    direct = rollup(hourly, 2 * DAY, HOUR, keys=["etype"])
+    assert by_key(via_daily, ["bucket", "etype"]) == \
+        by_key(direct, ["bucket", "etype"])
+
+
+def test_range_equals_raw_range(events):
+    df, _ = events
+    hourly = build_sketch_table(df, "ts", "v", ALPHA, NB, HOUR,
+                                keys=["etype"])
+    t0, t1 = T0 + dt.timedelta(days=2), T0 + dt.timedelta(days=7)
+    got = {(r["etype"], r["q"]): r["est"]
+           for r in range_percentile(hourly, t0, t1, [0.5, 0.9], HOUR,
+                                     keys=["etype"]).collect()}
+    raw = df.where((F.col("ts") >= t0.replace(tzinfo=None))
+                   & (F.col("ts") < t1.replace(tzinfo=None)))
+    direct = dd_api(raw, "v", ALPHA, NB, keys=["etype"])
+    from ddsketch_spark.core.ddsketch import from_bytes
+    for r in direct.collect():
+        s = from_bytes(bytes(r["sketch"]))
+        for q, est in zip([0.5, 0.9], s.quantile([0.5, 0.9])):
+            assert got[(r["etype"], q)] == pytest.approx(est, abs=0, rel=0)
+    assert len(got) == 6
+
+
+def test_validation_errors(events):
+    df, _ = events
+    hourly = build_sketch_table(df, "ts", "v", ALPHA, NB, HOUR)
+    with pytest.raises(ValueError, match="multiple"):
+        rollup(hourly, 5000, HOUR)                # not a multiple
+    with pytest.raises(ValueError, match="aligned"):
+        range_percentile(hourly, T0 + dt.timedelta(seconds=30),
+                         T0 + dt.timedelta(days=1), [0.5], HOUR)
+    with pytest.raises(ValueError, match="empty range"):
+        range_percentile(hourly, T0 + dt.timedelta(days=1), T0, [0.5], HOUR)
+    with pytest.raises(ValueError, match=">= 1"):
+        time_bucket("ts", 0)
