@@ -77,7 +77,9 @@ def main() -> None:
                                "tokens_topk_sketched_by_lang",
                                "dd_collapsed_quantiles_price",
                                "dd_sketch_store_roundtrip",
-                               "kmv_user_overlap"] if n in QUERIES]
+                               "kmv_user_overlap",
+                               "dd_rollup_daily_p90_events",
+                               "dd_range_p95_from_hourly"] if n in QUERIES]
     all_names = headline + extra_names
     for name in all_names:          # warm pass, untimed
         QUERIES[name](spark, sf_dir).collect()
@@ -147,20 +149,20 @@ def main() -> None:
         # tools/scaling_bench.py with the interleaved fresh-JVM protocol
         # (full tables + methodology: BENCH/BASELINE.md)
         "scaling_64m_docs": {
-            "n4_to_16": {"docs_per_sec_n": 1797841,
-                         "docs_per_sec_4n": 6230941,
-                         "efficiency": 0.866,
-                         "note": "r4 re-measurement, best-of-5 interleaved"
-                                 " with per-pair variance (0.75-0.88);"
-                                 " r1 0.823, r2 0.843, r3 0.809"},
-            "n8_to_32": {"docs_per_sec_n": 3533057,
-                         "docs_per_sec_4n": 10383236,
-                         "efficiency": 0.735,
-                         "note": "r4 re-measurement (r2 0.653, r3 0.659); "
-                                 "4N crosses into SMT; pure-CPU ceiling on "
-                                 "this box measured 0.6-0.78; per-pair "
-                                 "0.59-0.79"},
-            "peak_docs_per_sec": 10383236,
+            "n4_to_16": {"docs_per_sec_n": 1839172,
+                         "docs_per_sec_4n": 6443910,
+                         "efficiency": 0.876,
+                         "note": "r5 re-measurement, best-of-5 interleaved,"
+                                 " per-pair 0.811-0.97; r1 0.823, r2 0.843,"
+                                 " r3 0.809, r4 0.866"},
+            "n8_to_32": {"docs_per_sec_n": 3436528,
+                         "docs_per_sec_4n": 9228130,
+                         "efficiency": 0.671,
+                         "note": "r5 re-measurement (r2 0.653, r3 0.659, "
+                                 "r4 0.735); 4N crosses into SMT; pure-CPU "
+                                 "ceiling on this box measured 0.6-0.78; "
+                                 "per-pair 0.649-0.708"},
+            "peak_docs_per_sec": 9228130,
             # reference-methodology (cached numeric table, agg only):
             # 24.8M docs/s at local[4], 54.2M at local[16] — vs the
             # reference's 11.2M rows/s at 4 workers (cached PG table);
@@ -181,6 +183,13 @@ def main() -> None:
         # BENCH/BASELINE.md)
         "stage1_docs_per_sec_64m_local16": {
             "ddsketch_native": 6093013, "kll": 3339232, "tdigest": 3268557},
+        # continuous-aggregate asymmetry at 64M docs, local[16]
+        # (tools/rollup_scale_probe.py, r5): ONE full scan builds the
+        # hourly x lang sketch table; every later grain/range question
+        # touches only the 105k stored kB rows
+        "rollup_64m_probe": {"build_sec": 31.47, "rows_fine": 105120,
+                             "rollup_daily_sec": 1.44,
+                             "range_182d_sec": 1.30},
         "scaling_evidence": "BENCH/BASELINE.md",
         # no Iceberg runtime jar ships in this sandbox (no network):
         # table layer proven format-agnostic in
