@@ -280,3 +280,50 @@ def test_cms_bloom_probe_native_pure_jvm_and_kernel_equal(spark):
         [py_h64(f"x{i}") for i in range(3000)], dtype=np.int64))
     swant = sb.contains(np.array(sat_probes, dtype=np.int64))
     assert [sgot[f"member_{j}"] for j in range(3)] == [bool(x) for x in swant]
+
+
+def test_rollup_range_filter_pushes_to_stored_scan(spark, pages_path,
+                                                   tmp_path_factory):
+    """The rollup layer's 100 TB claim: a range query over a STORED
+    sketch table must push its bucket predicate into the parquet scan
+    (only in-range kB rows read) and must not rescan the raw corpus."""
+    from ddsketch_spark.operators.rollup import (
+        build_sketch_table, range_percentile)
+
+    docs = spark.read.parquet(pages_path).select(
+        "warc_ts", "lang", F.length("text").cast("double").alias("v"))
+    hourly = build_sketch_table(docs, "warc_ts", "v", 0.05, 1024, 3600,
+                                keys=["lang"])
+    store = str(tmp_path_factory.mktemp("rollup") / "hourly")
+    hourly.write.parquet(store)
+    stored = spark.read.parquet(store)
+    lo = stored.agg(F.min("bucket")).first()[0]
+    t0 = (lo // 86400) * 86400 + 86400
+    q = range_percentile(stored, t0, t0 + 2 * 86400, [0.5], 3600,
+                         keys=["lang"])
+    plan = _plan(q)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(bucket",
+                     plan), plan
+    assert re.search(r"PushedFilters: \[.*LessThan\(bucket", plan), plan
+    # only the stored sketch table is scanned — never the raw pages
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "text" not in re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+
+
+def test_rollup_is_single_shuffle_of_sketch_rows(spark, pages_path):
+    """Coarsening hourly -> daily shuffles only the kB sketch rows: one
+    Exchange, keyed by (coarse bucket, lang), with the raw corpus scanned
+    exactly once upstream (by the table build, not the rollup)."""
+    from ddsketch_spark.operators.rollup import build_sketch_table, rollup
+
+    docs = spark.read.parquet(pages_path).select(
+        "warc_ts", "lang", F.length("text").cast("double").alias("v"))
+    hourly = build_sketch_table(docs, "warc_ts", "v", 0.05, 1024, 3600,
+                                keys=["lang"])
+    daily = rollup(hourly, 86400, 3600, keys=["lang"])
+    plan = _plan(daily)
+    # exactly one shuffle beyond the build's own (build = 1 exchange for
+    # the bucket-cell hash agg + its assembly repartition; the rollup
+    # adds exactly one more for the coarse-key merge)
+    n_ex = lambda p: len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex(plan) == n_ex(_plan(hourly)) + 1, plan
