@@ -36,6 +36,7 @@ from ddsketch_spark.operators.aggregate import (
 
 __all__ = [
     "time_bucket", "build_sketch_table", "rollup", "range_percentile",
+    "windowed_sketches_as_table", "store_sketch_table", "read_sketch_table",
 ]
 
 
@@ -74,6 +75,49 @@ def build_sketch_table(df: DataFrame, ts_col: str, value_col: str,
                         keys=[bucket_col] + keys, weight_col=weight_col)
 
 
+def windowed_sketches_as_table(assembled: DataFrame,
+                               keys: Sequence[str] = ()) -> DataFrame:
+    """Adapt the STREAMING layer's output to the sketch-table contract:
+    ``streaming.sketch_stream.assemble_window_sketches`` rows (``keys...,
+    window_start, window_end, sketch, n``) become ``bucket, keys...,
+    sketch, n`` with ``bucket`` = epoch seconds of the window start.
+
+    Tumbling windows are granularity-aligned, so a streaming-maintained
+    hourly table is BIT-IDENTICAL to a batch ``build_sketch_table`` over
+    the same rows (tests/test_rollup.py) — continuous ingestion keeps the
+    table fresh, and every ``rollup`` / ``range_percentile`` question
+    works unchanged on top."""
+    return assembled.select(
+        F.col("window_start").cast("long").alias("bucket"),
+        *keys, "sketch", "n")
+
+
+def store_sketch_table(df: DataFrame, path: str,
+                       partition_granularity_seconds: int = 86400,
+                       bucket_col: str = "bucket") -> None:
+    """Persist a sketch table partitioned by a COARSER time directory
+    (default daily): hourly rows land in day directories, so an aligned
+    range query prunes whole partitions before reading a single row
+    (PartitionFilters, pinned in tests/test_plans.py). ~365 directories
+    per year keeps the file count sane at any data scale — the row count
+    inside is O(buckets x keys) regardless of raw data size."""
+    from ddsketch_spark.sources.tables import write_table
+
+    g = int(partition_granularity_seconds)
+    out = df.withColumn(
+        "pbucket", F.col(bucket_col) - F.pmod(F.col(bucket_col), F.lit(g)))
+    write_table(out, path, partition_by=["pbucket"])
+
+
+def read_sketch_table(spark, path: str) -> DataFrame:
+    """Read a :func:`store_sketch_table` table. The ``pbucket`` partition
+    column is kept so :func:`range_percentile` (given the same
+    ``partition_granularity_seconds``) can prune partitions."""
+    from ddsketch_spark.sources.tables import read_table
+
+    return read_table(spark, path)
+
+
 def _check_multiple(coarse: int, fine: int) -> None:
     if coarse % fine != 0 or coarse < fine:
         raise ValueError(
@@ -110,7 +154,8 @@ def _epoch(t: "int | dt.datetime") -> int:
 def range_percentile(sketch_table: DataFrame, t0, t1, qs: Sequence[float],
                      fine_granularity_seconds: int,
                      keys: Sequence[str] = (),
-                     bucket_col: str = "bucket") -> DataFrame:
+                     bucket_col: str = "bucket",
+                     partition_granularity_seconds: int | None = None) -> DataFrame:
     """Quantiles over an aligned time range from stored partials:
     ``keys..., q, est`` for raw-value timestamps in ``[t0, t1)``.
 
@@ -132,6 +177,14 @@ def range_percentile(sketch_table: DataFrame, t0, t1, qs: Sequence[float],
     qs = [float(q) for q in qs]
     in_range = sketch_table.where(
         (F.col(bucket_col) >= e0) & (F.col(bucket_col) < e1))
+    if (partition_granularity_seconds
+            and "pbucket" in sketch_table.columns):
+        # tables written by store_sketch_table: an equivalent predicate
+        # on the partition directory column prunes whole partitions
+        # (implied by the bucket bounds, but Spark cannot derive it)
+        g = int(partition_granularity_seconds)
+        in_range = in_range.where(
+            (F.col("pbucket") >= (e0 // g) * g) & (F.col("pbucket") < e1))
     return merge_sketches_extract(
         in_range, "sketch", list(keys),
         lambda s: {"q": qs, "est": [float(e) for e in s.quantile(qs)]},

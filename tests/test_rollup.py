@@ -98,3 +98,96 @@ def test_validation_errors(events):
         range_percentile(hourly, T0 + dt.timedelta(days=1), T0, [0.5], HOUR)
     with pytest.raises(ValueError, match=">= 1"):
         time_bucket("ts", 0)
+
+
+def test_streaming_maintained_table_feeds_rollup(spark, events, tmp_path):
+    """The continuous-aggregate loop closed end to end: a watermarked
+    streaming windowed aggregation maintains the hourly sketch table
+    (windowed_sketches_as_table adapts its output to the table contract),
+    and the result is BIT-IDENTICAL to the batch build over the same
+    rows — so every rollup / range question works unchanged on a
+    streaming-maintained table."""
+    import time as _time
+
+    from ddsketch_spark.operators.rollup import windowed_sketches_as_table
+    from ddsketch_spark.streaming.sketch_stream import (
+        assemble_window_sketches, windowed_bucket_counts,
+    )
+
+    df, _ = events
+    first2d = df.where(
+        F.col("ts") < (T0 + dt.timedelta(days=2)).replace(tzinfo=None))
+    src, ckpt, out = (str(tmp_path / n) for n in ("src", "ckpt", "out"))
+    first2d.coalesce(2).write.parquet(src)
+    _time.sleep(1.1)
+    # sentinel far past the data advances the watermark so every real
+    # window finalizes in append mode
+    sentinel = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp(T0).tz_localize(None)
+                             + pd.Timedelta(days=30)],
+                      "etype": ["a"], "v": [1.0]}))
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(first2d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cells = windowed_bucket_counts(stream, "ts", "v", "1 hour",
+                                   "30 minutes", alpha=ALPHA,
+                                   keys=["etype"])
+    q = (cells.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out).start())
+    q.awaitTermination()
+
+    assembled = assemble_window_sketches(
+        spark.read.parquet(out), ALPHA, NB, keys=["etype"])
+    streamed = windowed_sketches_as_table(assembled, keys=["etype"])
+    sentinel_bucket = int((pd.Timestamp(T0).tz_localize(None)
+                           + pd.Timedelta(days=30)).timestamp()) // HOUR * HOUR
+    streamed = streamed.where(F.col("bucket") != sentinel_bucket)
+
+    batch = build_sketch_table(first2d, "ts", "v", ALPHA, NB, HOUR,
+                               keys=["etype"])
+    got = by_key(streamed, ["bucket", "etype"])
+    want = by_key(batch, ["bucket", "etype"])
+    assert got.keys() == want.keys() and len(got) >= 50
+    assert all(got[k] == want[k] for k in want)
+
+    # and the adapted table answers rollup questions like any other
+    daily = rollup(streamed, DAY, HOUR, keys=["etype"])
+    ddirect = rollup(batch, DAY, HOUR, keys=["etype"])
+    assert by_key(daily, ["bucket", "etype"]) == \
+        by_key(ddirect, ["bucket", "etype"])
+
+
+def test_partitioned_store_prunes_and_matches(spark, events, tmp_path):
+    """store_sketch_table writes day-partitioned directories; a range
+    query given the partition grain returns the identical answer AND its
+    scan prunes to the in-range partitions only."""
+    import re
+
+    from ddsketch_spark.operators.rollup import (
+        read_sketch_table, store_sketch_table)
+
+    df, _ = events
+    hourly = build_sketch_table(df, "ts", "v", ALPHA, NB, HOUR,
+                                keys=["etype"])
+    path = str(tmp_path / "stored")
+    store_sketch_table(hourly, path, partition_granularity_seconds=DAY)
+    stored = read_sketch_table(spark, path)
+    assert "pbucket" in stored.columns
+
+    t0, t1 = T0 + dt.timedelta(days=2), T0 + dt.timedelta(days=5)
+    pruned = range_percentile(stored, t0, t1, [0.5, 0.9], HOUR,
+                              keys=["etype"],
+                              partition_granularity_seconds=DAY)
+    plain = range_percentile(hourly, t0, t1, [0.5, 0.9], HOUR,
+                             keys=["etype"])
+    gp = {(r["etype"], r["q"]): r["est"] for r in pruned.collect()}
+    gd = {(r["etype"], r["q"]): r["est"] for r in plain.collect()}
+    assert gp == gd and len(gp) == 6
+
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pbucket" in m.group(1), plan[:2000]
