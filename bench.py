@@ -182,7 +182,9 @@ def main() -> None:
         # interleaved best-of-3 — r5 measurement; table in
         # BENCH/BASELINE.md)
         "stage1_docs_per_sec_64m_local16": {
-            "ddsketch_native": 6093013, "kll": 3339232, "tdigest": 3268557},
+            "ddsketch_native": 6031394, "kll": 3407500,
+            "kll_precombine": 6093495, "tdigest": 3075393,
+            "tdigest_precombine": 5728710},
         # continuous-aggregate asymmetry at 64M docs, local[16]
         # (tools/rollup_scale_probe.py, r5): ONE full scan builds the
         # hourly x lang sketch table; every later grain/range question

@@ -58,12 +58,15 @@ def sketch_partials(
     factory: Callable[[], object] = DDSketch,
     weight_col: str | None = None,
     fanout: int | None = None,
+    n_from_weight: bool = False,
 ) -> DataFrame:
     """Stage 1: per-partition, per-key partial sketches.
 
     Output schema: ``keys..., sketch binary, part_id long, n long`` where
     ``n`` is the number of contributing rows (lineage/metrics record per
-    the north rule).
+    the north rule). ``n_from_weight=True`` counts lineage by summed
+    weight instead — for inputs where one row REPRESENTS many (the
+    precombined duplicate-collapsed path), keeping n = original rows.
 
     ``fanout=N`` round-robin-repartitions the (already-projected, narrow)
     rows to N tasks first — explicit opt-in for inputs whose split count is
@@ -123,6 +126,11 @@ def sketch_partials(
                    if weight_col else None)
         return vals, wts
 
+    def _nrows(gdf: pd.DataFrame) -> int:
+        if n_from_weight and weight_col:
+            return int(gdf[weight_col].fillna(1).sum())
+        return len(gdf)
+
     def update_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         accs: dict[tuple, object] = {}
         rows: dict[tuple, int] = {}
@@ -141,7 +149,7 @@ def sketch_partials(
                         acc = accs[gkey] = factory()
                         rows[gkey] = 0
                     acc.update(vals, wts)
-                    rows[gkey] += len(gdf)
+                    rows[gkey] += _nrows(gdf)
             else:
                 vals, wts = _extract(pdf)
                 acc = accs.get(())
@@ -149,7 +157,7 @@ def sketch_partials(
                     acc = accs[()] = factory()
                     rows[()] = 0
                 acc.update(vals, wts)
-                rows[()] += len(pdf)
+                rows[()] += _nrows(pdf)
 
         out = {k: [] for k in keys}
         out["sketch"], out["part_id"], out["n"] = [], [], []
@@ -341,28 +349,56 @@ def sketch_agg(
     weight_col: str | None = None,
     merge_fanout: int | None = None,
     fanout: int | None = None,
+    precombine: bool = False,
 ) -> DataFrame:
     """Full 2-stage aggregation: ``keys..., sketch binary, n long``.
 
     The Spark analogue of ``SELECT keys, ddsketch(value, alpha, nbuckets)
     FROM t GROUP BY keys`` (reference lifecycle B, README.md:121-124).
-    """
+
+    ``precombine=True`` collapses duplicate values JVM-side before the
+    Arrow transfer: ``groupBy(keys, value) -> summed weight``, then the
+    kernels' weighted update consumes (value, weight) rows. For
+    discrete-valued columns (document lengths, token counts, sizes) this
+    shrinks the JVM->Python hand-off from O(rows) to O(distinct values
+    per key) — the lever that lets the Arrow-pipeline sketches (KLL /
+    t-digest, no closed-form bucket expression) keep up with the
+    JVM-native path at scale (BENCH/BASELINE.md r5: the stage-1 gap).
+    Spark's partial aggregation combines map-side, so the extra shuffle
+    carries only distinct (keys, value) rows. The resulting sketch sees
+    the identical multiset (weighted insert == repeated insert for every
+    kernel; pinned by tests), though for randomized compactors (KLL) the
+    internal state differs while the error bounds hold unchanged.
+    Caveat: with an explicit ``weight_col``, per-row positivity is
+    summed away before the kernel's weight check — callers own weight
+    validity on this path."""
+    if precombine:
+        w = (F.sum(F.coalesce(F.col(weight_col).cast("long"), F.lit(1)))
+             if weight_col else F.count(F.lit(1)).cast("long"))
+        # NULL/NaN values stay as their own group: the kernels skip them,
+        # but their summed weight keeps the lineage n = rows seen
+        df = df.groupBy(*list(keys), value_col).agg(w.alias("__w"))
+        weight_col = "__w"
     partials = sketch_partials(df, value_col, keys, factory, weight_col,
-                               fanout=fanout)
+                               fanout=fanout, n_from_weight=precombine)
     return merge_partials(partials, keys,
                           resolve_from_bytes(factory, from_bytes),
                           merge_fanout)
 
 
 def _stored_rows_as_partials(df: DataFrame, sketch_col: str,
-                             keys: Sequence[str]) -> DataFrame:
+                             keys: Sequence[str],
+                             n_col: str | None = None) -> DataFrame:
     """Project stored sketch rows into the partial-row contract
     (``keys..., sketch, part_id, n``) shared by merge_partials — one
-    place to evolve the lineage fields."""
+    place to evolve the lineage fields. ``n_col`` carries each stored
+    row's own contributing-row count through the merge (rollup tables);
+    default counts merged sketch rows."""
+    n = (F.col(n_col).cast("long") if n_col else F.lit(1).cast("long"))
     return (
-        df.select(*(list(keys) + [F.col(sketch_col).alias("sketch")]))
+        df.select(*(list(keys) + [F.col(sketch_col).alias("sketch"),
+                                  n.alias("n")]))
         .withColumn("part_id", F.spark_partition_id().cast("long"))
-        .withColumn("n", F.lit(1).cast("long"))
     )
 
 
@@ -372,16 +408,19 @@ def merge_sketches(
     keys: Sequence[str] = (),
     from_bytes: Callable[[bytes], object] = dd_from_bytes,
     map_side_combine: bool = False,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Re-aggregate stored sketches (``ddsketch(sketch)`` N-way merge,
     reference ddsketch.c:1439-1520): ``keys..., sketch binary, n long``.
 
     Spark-side this is one shuffle of already-tiny sketch rows; partial
     merging happens map-side too via a pre-merge by input partition.
+    ``n_col`` propagates summed per-row lineage counts instead of
+    counting merged rows.
     """
     keys = list(keys)
     # treat each stored sketch row as a "partial" with synthetic lineage
-    partials = _stored_rows_as_partials(df, sketch_col, keys)
+    partials = _stored_rows_as_partials(df, sketch_col, keys, n_col)
     # map_side_combine pays off when many stored sketch rows per key share
     # a scan partition (see merge_partials; measured on hot keys in
     # tools/skew_bench.py) — keep it off for small reagg jobs

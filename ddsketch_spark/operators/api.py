@@ -145,29 +145,36 @@ def ddsketch_sum_from_sketches(df: DataFrame, sketch_col: str, low: float,
 def kll_percentile(df: DataFrame, value_col: str, q,
                    keys: Sequence[str] = (), k: int = 200,
                    weight_col: str | None = None,
-                   alias: str = "percentile") -> DataFrame:
+                   alias: str = "percentile",
+                   precombine: bool = False) -> DataFrame:
     """Uniform-rank-error quantiles via KLL (north-rule sibling): same
-    calling convention as ddsketch_percentile."""
+    calling convention as ddsketch_percentile. ``precombine=True``
+    collapses duplicate values JVM-side first — the scale lever for
+    discrete-valued columns (see sketch_agg)."""
     from ddsketch_spark.core import kll as kll_mod
     from ddsketch_spark.core.kll import KLL
     from ddsketch_spark.functions.estimators import kll_quantile
 
     built = sketch_agg(df, value_col, keys, lambda: KLL(k),
-                       kll_mod.from_bytes, weight_col)
+                       kll_mod.from_bytes, weight_col,
+                       precombine=precombine)
     return _finalize(built, keys, kll_quantile(F.col("sketch"), q), alias)
 
 
 def tdigest_percentile(df: DataFrame, value_col: str, q,
                        keys: Sequence[str] = (), delta: float = 100.0,
                        weight_col: str | None = None,
-                       alias: str = "percentile") -> DataFrame:
-    """Tail-accurate quantiles via merging t-digest."""
+                       alias: str = "percentile",
+                       precombine: bool = False) -> DataFrame:
+    """Tail-accurate quantiles via merging t-digest. ``precombine=True``
+    collapses duplicate values JVM-side first (see sketch_agg)."""
     from ddsketch_spark.core import tdigest as td_mod
     from ddsketch_spark.core.tdigest import TDigest
     from ddsketch_spark.functions.estimators import tdigest_quantile
 
     built = sketch_agg(df, value_col, keys, lambda: TDigest(delta),
-                       td_mod.from_bytes, weight_col)
+                       td_mod.from_bytes, weight_col,
+                       precombine=precombine)
     return _finalize(built, keys, tdigest_quantile(F.col("sketch"), q), alias)
 
 

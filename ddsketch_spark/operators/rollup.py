@@ -37,6 +37,7 @@ from ddsketch_spark.operators.aggregate import (
 __all__ = [
     "time_bucket", "build_sketch_table", "rollup", "range_percentile",
     "windowed_sketches_as_table", "store_sketch_table", "read_sketch_table",
+    "compact_sketch_table", "range_percentile_tiered",
 ]
 
 
@@ -140,7 +141,10 @@ def rollup(sketch_table: DataFrame, coarse_granularity_seconds: int,
     keys = list(keys)
     coarse = sketch_table.withColumn(
         bucket_col, F.col(bucket_col) - F.pmod(F.col(bucket_col), F.lit(g)))
-    return merge_sketches(coarse, "sketch", keys=[bucket_col] + keys)
+    # n_col: a rollup row's n = sum of its children's contributing
+    # rows, not the number of merged sketch rows
+    return merge_sketches(coarse, "sketch", keys=[bucket_col] + keys,
+                          n_col="n" if "n" in sketch_table.columns else None)
 
 
 def _epoch(t: "int | dt.datetime") -> int:
@@ -185,6 +189,81 @@ def range_percentile(sketch_table: DataFrame, t0, t1, qs: Sequence[float],
         g = int(partition_granularity_seconds)
         in_range = in_range.where(
             (F.col("pbucket") >= (e0 // g) * g) & (F.col("pbucket") < e1))
+    return merge_sketches_extract(
+        in_range, "sketch", list(keys),
+        lambda s: {"q": qs, "est": [float(e) for e in s.quantile(qs)]},
+        [StructField("q", DoubleType(), False),
+         StructField("est", DoubleType(), True)])
+
+
+def compact_sketch_table(sketch_table: DataFrame, boundary,
+                         fine_granularity_seconds: int,
+                         coarse_granularity_seconds: int,
+                         keys: Sequence[str] = (),
+                         bucket_col: str = "bucket") -> DataFrame:
+    """Tiered retention (the continuous-aggregate compaction policy):
+    buckets OLDER than ``boundary`` are rolled up to the coarse grain,
+    recent buckets stay fine — e.g. hourly for the last 7 days, daily
+    beyond. Output adds a ``gran`` column (seconds covered per row) so
+    :func:`range_percentile_tiered` can reason about mixed grains.
+
+    Shrinks the stored table by ~coarse/fine for the old region while
+    keeping full resolution where queries want it; re-compacting later
+    with a newer boundary just moves the tier edge (rollups compose).
+    ``boundary`` must be aligned to the coarse grain so no coarse bucket
+    straddles the tier edge."""
+    e_b = _epoch(boundary)
+    fine = int(fine_granularity_seconds)
+    coarse = int(coarse_granularity_seconds)
+    _check_multiple(coarse, fine)
+    if e_b % coarse:
+        raise ValueError(
+            f"boundary {e_b} must be aligned to the coarse grain "
+            f"{coarse}s — otherwise one coarse bucket would straddle "
+            f"the tier edge")
+    keys = list(keys)
+    cols = [bucket_col] + keys + ["sketch", "n"]
+    old = sketch_table.where(F.col(bucket_col) < e_b).select(*cols)
+    recent = sketch_table.where(F.col(bucket_col) >= e_b).select(*cols)
+    compacted = rollup(old, coarse, fine, keys, bucket_col).select(*cols)
+    return (compacted.withColumn("gran", F.lit(coarse).cast("long"))
+            .unionByName(recent.withColumn("gran",
+                                           F.lit(fine).cast("long"))))
+
+
+def range_percentile_tiered(tiered: DataFrame, t0, t1, qs: Sequence[float],
+                            boundary,
+                            fine_granularity_seconds: int,
+                            coarse_granularity_seconds: int,
+                            keys: Sequence[str] = (),
+                            bucket_col: str = "bucket") -> DataFrame:
+    """Range quantiles over a :func:`compact_sketch_table` table:
+    ``keys..., q, est`` for raw timestamps in ``[t0, t1)``, merging fine
+    and coarse rows across the tier boundary.
+
+    A row is merged iff fully contained: ``bucket >= t0 AND bucket +
+    gran <= t1`` — so each edge must be aligned to the grain of the TIER
+    it falls in (coarse-aligned below ``boundary``, fine-aligned above),
+    or the straddled bucket's rows would be silently dropped. Validated
+    up front; the data itself never needs rescanning."""
+    e0, e1 = _epoch(t0), _epoch(t1)
+    e_b = _epoch(boundary)
+    fine = int(fine_granularity_seconds)
+    coarse = int(coarse_granularity_seconds)
+    if e1 <= e0:
+        raise ValueError("empty range: t1 must be > t0")
+    for name, e in (("t0", e0), ("t1", e1)):
+        g = coarse if e < e_b else fine
+        if e % g:
+            raise ValueError(
+                f"{name}={e} falls in the "
+                f"{'coarse' if e < e_b else 'fine'} tier and must be "
+                f"aligned to its {g}s grain — an unaligned edge would "
+                f"drop the straddled bucket's data")
+    qs = [float(q) for q in qs]
+    in_range = tiered.where(
+        (F.col(bucket_col) >= e0)
+        & ((F.col(bucket_col) + F.col("gran")) <= e1))
     return merge_sketches_extract(
         in_range, "sketch", list(keys),
         lambda s: {"q": qs, "est": [float(e) for e in s.quantile(qs)]},

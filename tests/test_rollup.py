@@ -191,3 +191,66 @@ def test_partitioned_store_prunes_and_matches(spark, events, tmp_path):
         pruned._jdf.queryExecution(), "formatted")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "pbucket" in m.group(1), plan[:2000]
+
+
+def test_tiered_compaction_and_cross_boundary_range(spark, events):
+    """Tiered retention: buckets older than the boundary roll to daily,
+    recent stay hourly; a range query straddling the tier edge merges
+    both grains and equals the direct sketch of the raw rows in range."""
+    from ddsketch_spark.core.ddsketch import from_bytes
+    from ddsketch_spark.operators.rollup import (
+        compact_sketch_table, range_percentile_tiered)
+
+    df, _ = events
+    hourly = build_sketch_table(df, "ts", "v", ALPHA, NB, HOUR,
+                                keys=["etype"])
+    boundary = T0 + dt.timedelta(days=6)
+    tiered = compact_sketch_table(hourly, boundary, HOUR, DAY,
+                                  keys=["etype"])
+
+    rows = tiered.groupBy("gran").count().collect()
+    counts = {r["gran"]: r["count"] for r in rows}
+    assert set(counts) == {HOUR, DAY}
+    assert counts[DAY] <= 6 * 3 and counts[HOUR] >= 4 * 24  # 3 etypes
+
+    # total mass preserved through compaction
+    assert (tiered.agg(F.sum("n")).first()[0]
+            == hourly.agg(F.sum("n")).first()[0])
+
+    # range straddling the boundary: [day 3, day 8) = 3 coarse days +
+    # 2 fine days of hourly rows
+    t0, t1 = T0 + dt.timedelta(days=3), T0 + dt.timedelta(days=8)
+    got = {(r["etype"], r["q"]): r["est"]
+           for r in range_percentile_tiered(
+               tiered, t0, t1, [0.5, 0.9], boundary, HOUR, DAY,
+               keys=["etype"]).collect()}
+    raw = df.where((F.col("ts") >= t0.replace(tzinfo=None))
+                   & (F.col("ts") < t1.replace(tzinfo=None)))
+    for r in dd_api(raw, "v", ALPHA, NB, keys=["etype"]).collect():
+        s = from_bytes(bytes(r["sketch"]))
+        for q, est in zip([0.5, 0.9], s.quantile([0.5, 0.9])):
+            assert got[(r["etype"], q)] == est
+    assert len(got) == 6
+
+
+def test_tiered_validation(spark, events):
+    from ddsketch_spark.operators.rollup import (
+        compact_sketch_table, range_percentile_tiered)
+
+    df, _ = events
+    hourly = build_sketch_table(df, "ts", "v", ALPHA, NB, HOUR)
+    with pytest.raises(ValueError, match="aligned to the coarse"):
+        compact_sketch_table(hourly, T0 + dt.timedelta(hours=3), HOUR, DAY)
+    boundary = T0 + dt.timedelta(days=6)
+    tiered = compact_sketch_table(hourly, boundary, HOUR, DAY)
+    # t0 in the coarse tier must be DAY-aligned: an hour-aligned edge
+    # there would silently drop the straddled day's data
+    with pytest.raises(ValueError, match="coarse tier"):
+        range_percentile_tiered(
+            tiered, T0 + dt.timedelta(days=2, hours=1),
+            T0 + dt.timedelta(days=7), [0.5], boundary, HOUR, DAY)
+    # hour-aligned t1 in the fine tier is fine
+    out = range_percentile_tiered(
+        tiered, T0 + dt.timedelta(days=2),
+        T0 + dt.timedelta(days=7, hours=5), [0.5], boundary, HOUR, DAY)
+    assert out.count() == 1

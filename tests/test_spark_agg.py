@@ -446,3 +446,59 @@ def test_table_cache_handle_reuse_and_invalidation(spark):
     qmod.clear_table_cache()
     d3 = qmod._t(spark, "/root/testdata/sf0.001", "lineitem")
     assert d3 is not d1
+
+
+def test_precombine_ddsketch_bit_identical(spark):
+    """precombine=True (JVM-side duplicate collapse -> weighted update)
+    must produce the IDENTICAL sketch to the plain row-at-a-time path for
+    the deterministic kernels — weighted insert == repeated insert."""
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 3, 30_000),
+        # discrete values with heavy repetition (doc-length shape)
+        "v": rng.integers(1, 500, 30_000).astype(float),
+    })
+    pdf.loc[::90, "v"] = None
+    df = spark.createDataFrame(pdf).repartition(6)
+    plain = {r["k"]: (bytes(r["sketch"]), r["n"]) for r in
+             sketch_agg(df, "v", keys=["k"],
+                        factory=lambda: DDSketch(ALPHA, NB)).collect()}
+    pre = {r["k"]: (bytes(r["sketch"]), r["n"]) for r in
+           sketch_agg(df, "v", keys=["k"], factory=lambda: DDSketch(ALPHA, NB),
+                      precombine=True).collect()}
+    assert plain == pre and len(pre) == 3
+
+
+def test_precombine_weighted_and_kll_bounds(spark):
+    """With an explicit weight column, precombine sums weights per
+    distinct value (same sketch for DDSketch); for the randomized KLL the
+    count matches exactly and the estimate's true rank stays within the
+    k=200 bound."""
+    from ddsketch_spark.core import kll as kll_mod
+    from ddsketch_spark.core.kll import KLL
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame({
+        "v": rng.integers(1, 200, 10_000).astype(float),
+        "w": rng.integers(1, 5, 10_000),
+    })
+    df = spark.createDataFrame(pdf).repartition(4)
+    a = sketch_agg(df, "v", weight_col="w",
+                   factory=lambda: DDSketch(ALPHA, NB)).collect()[0]
+    b = sketch_agg(df, "v", weight_col="w",
+                   factory=lambda: DDSketch(ALPHA, NB),
+                   precombine=True).collect()[0]
+    assert bytes(a["sketch"]) == bytes(b["sketch"])
+    # weighted precombine lineage: n = total represented weight
+    assert a["n"] == len(pdf) and b["n"] == int(pdf["w"].sum())
+
+    got = sketch_agg(df, "v", factory=lambda: KLL(200),
+                     from_bytes=kll_mod.from_bytes,
+                     precombine=True).collect()[0]
+    s = kll_mod.from_bytes(bytes(got["sketch"]))
+    assert s.count == len(pdf)
+    vals = np.sort(pdf["v"].to_numpy())
+    for q in (0.1, 0.5, 0.9):
+        est = float(s.quantile([q])[0])
+        true_rank = np.searchsorted(vals, est, side="right") / len(vals)
+        assert abs(true_rank - q) < 0.05

@@ -49,7 +49,7 @@ if engine == "ddsketch_native":
         built = ddsketch_agg_native(work, "v", 0.01, 2048, keys=["lang"])
         return built.select("lang", sketch_quantile(
             F.col("sketch"), [0.5, 0.9, 0.99]).alias("e")).collect()
-elif engine == "kll":
+elif engine in ("kll", "kll_precombine"):
     from ddsketch_spark.core import kll as kll_mod
     from ddsketch_spark.core.kll import KLL
     from ddsketch_spark.functions.estimators import kll_quantile
@@ -58,10 +58,11 @@ elif engine == "kll":
     def pipeline():
         built = sketch_agg(work, "v", keys=["lang"],
                            factory=lambda: KLL(200),
-                           from_bytes=kll_mod.from_bytes)
+                           from_bytes=kll_mod.from_bytes,
+                           precombine=engine.endswith("precombine"))
         return built.select("lang", kll_quantile(
             F.col("sketch"), [0.5, 0.9, 0.99]).alias("e")).collect()
-elif engine == "tdigest":
+elif engine in ("tdigest", "tdigest_precombine"):
     from ddsketch_spark.core import tdigest as td_mod
     from ddsketch_spark.core.tdigest import TDigest
     from ddsketch_spark.functions.estimators import tdigest_quantile
@@ -70,7 +71,8 @@ elif engine == "tdigest":
     def pipeline():
         built = sketch_agg(work, "v", keys=["lang"],
                            factory=lambda: TDigest(100.0),
-                           from_bytes=td_mod.from_bytes)
+                           from_bytes=td_mod.from_bytes,
+                           precombine=engine.endswith("precombine"))
         return built.select("lang", tdigest_quantile(
             F.col("sketch"), [0.5, 0.9, 0.99]).alias("e")).collect()
 else:
@@ -118,7 +120,8 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", mat], check=True,
                        timeout=1800, capture_output=True)
 
-    engines = ["ddsketch_native", "kll", "tdigest"]
+    engines = ["ddsketch_native", "kll", "kll_precombine",
+               "tdigest", "tdigest_precombine"]
     # interleave engines across rounds so the sandbox VM's CPU-speed
     # drift penalizes all engines evenly (same protocol as scaling_bench)
     best: dict[str, dict] = {}
