@@ -470,6 +470,32 @@ def dd_rollup_daily_p90_events(spark, sf_dir):
         sketch_quantile(F.col("sketch"), [0.9])[0].alias("est"))
 
 
+TIER_BOUNDARY = dt.datetime(2024, 1, 16)
+
+
+def dd_tiered_range_p90_events(spark, sf_dir):
+    """event_type, q, est — tiered-retention range query through the
+    driver (operators/rollup.py compact_sketch_table /
+    range_percentile_tiered): the hourly sketch table is compacted at
+    Jan 16 (daily grain before, hourly after — the hourly-for-recent /
+    daily-beyond retention policy), then p90 per type over
+    [Jan 10, Jan 20) merges coarse AND fine rows across the tier edge.
+    The oracle sketches the raw rows of the interval directly, pinning
+    that compaction loses nothing and cross-tier containment filtering
+    is exact."""
+    from ddsketch_spark.operators.rollup import (
+        build_sketch_table, compact_sketch_table, range_percentile_tiered)
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = build_sketch_table(ev, "ts", "value", 0.05, 1024, 3600,
+                                keys=["event_type"])
+    tiered = compact_sketch_table(hourly, TIER_BOUNDARY, 3600, 86400,
+                                  keys=["event_type"])
+    return range_percentile_tiered(
+        tiered, dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20),
+        [0.9], TIER_BOUNDARY, 3600, 86400, keys=["event_type"])
+
+
 def dd_range_p95_from_hourly(spark, sf_dir):
     """event_type, q, est — aligned time-RANGE quantiles answered purely
     from stored hourly partials (operators/rollup.py.range_percentile):
@@ -849,12 +875,14 @@ def _gather_estimates(df, factory, from_bytes, weight_col=None):
     return acc.quantile(BOUND_QS)
 
 
-def _rank_bound_query(spark, sf_dir, factory, from_bytes):
+def _rank_bound_query(spark, sf_dir, factory, from_bytes, precombine=False):
     """Build the sketch over l_extendedprice, extract quantile estimates,
     then verify each estimate's EXACT rank lies within RANK_BOUND_EPS of the
     requested q — output ``q, ok``. The oracle returns TRUE rows, so a
     broken sketch hash-mismatches (SURVEY §5 bound-check pattern for
-    order-sensitive sketches)."""
+    order-sensitive sketches). ``precombine=True`` builds through the
+    JVM duplicate-collapse -> weighted-update path (the discrete-column
+    scale lever, BENCH r5) — the bound envelope must hold identically."""
     df = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"))
     # job 1: build partials and pull the 6 scalar estimates to the driver
@@ -863,7 +891,11 @@ def _rank_bound_query(spark, sf_dir, factory, from_bytes):
     # conditional-sum pass over the table: no crossJoin row amplification
     # (6x input), no broadcast exchange, no extra shuffle — at 100 TB the
     # verification costs exactly one scan.
-    ests = _gather_estimates(df, factory, from_bytes)
+    if precombine:
+        pre = df.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("w"))
+        ests = _gather_estimates(pre, factory, from_bytes, weight_col="w")
+    else:
+        ests = _gather_estimates(df, factory, from_bytes)
     aggs = []
     for i, e in enumerate(ests):
         lit = F.lit(float(e))
@@ -915,6 +947,16 @@ def kll_weighted_rank_bound_price(spark, sf_dir):
 def kll_rank_bound_price(spark, sf_dir):
     return _rank_bound_query(spark, sf_dir, lambda: KLL(200),
                              kll_mod.from_bytes)
+
+
+def kll_precombine_rank_bound_price(spark, sf_dir):
+    """q, ok — KLL built through sketch_agg's precombine path (JVM
+    groupBy collapses duplicate prices, the kernel ingests (value,
+    weight) rows): the exact-rank bound envelope must hold exactly as on
+    the row-at-a-time path, driver-pinning the weighted-insert ==
+    repeated-insert equivalence at the contract level."""
+    return _rank_bound_query(spark, sf_dir, lambda: KLL(200),
+                             kll_mod.from_bytes, precombine=True)
 
 
 def tdigest_rank_bound_price(spark, sf_dir):
@@ -1432,6 +1474,7 @@ QUERIES: dict[str, Callable] = {
     "dd_p90_events_hourly": dd_p90_events_hourly,
     "dd_rollup_daily_p90_events": dd_rollup_daily_p90_events,
     "dd_range_p95_from_hourly": dd_range_p95_from_hourly,
+    "dd_tiered_range_p90_events": dd_tiered_range_p90_events,
     "dd_quantiles_qty_preagg": dd_quantiles_qty_preagg,
     "dd_incremental_add_union": dd_incremental_add_union,
     "dd_trimmed_avg_from_sketches": dd_trimmed_avg_from_sketches,
@@ -1449,6 +1492,7 @@ QUERIES: dict[str, Callable] = {
     "bloom_member_orderkeys": bloom_member_orderkeys,
     "bloom_reagg_orderkeys": bloom_reagg_orderkeys,
     "kll_rank_bound_price": kll_rank_bound_price,
+    "kll_precombine_rank_bound_price": kll_precombine_rank_bound_price,
     "tdigest_rank_bound_price": tdigest_rank_bound_price,
     "tdigest_weighted_rank_bound_price": tdigest_weighted_rank_bound_price,
     # --- dedup / sampling / text
@@ -1466,12 +1510,12 @@ QUERIES: dict[str, Callable] = {
     "tokens_top5_by_lang": tokens_top5_by_lang,
     "tokens_topk_sketched": tokens_topk_sketched,
     "tokens_topk_sketched_by_lang": tokens_topk_sketched_by_lang,
+    # --- driver-cap overflow tail (51-69): all 19 were driver-checked
+    # --- green in r4 (CORRECTNESS_r04.json); rotate back into the top
+    # --- 50 in r6 so no row goes two consecutive rounds unchecked ---
     # --- similarity / multimodal / pipeline
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
-    # --- driver-cap overflow tail (51-67): all 17 were driver-checked
-    # --- green in r4 (CORRECTNESS_r04.json); rotate back into the top
-    # --- 50 in r6 so no row goes two consecutive rounds unchecked ---
     "ann_ivf_cosine_topk": ann_ivf_cosine_topk,
     "multimodal_feature_stats": multimodal_feature_stats,
     "multimodal_resize_frame_stats": multimodal_resize_frame_stats,
@@ -1550,6 +1594,12 @@ ORACLES: dict[str, str] = {
         "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'"
         " AND ts < TIMESTAMP '2024-01-22 00:00:00') evr",
         "value", 0.05, [0.5, 0.95], keys=["event_type"]),
+    # tiered retention: daily-compacted + hourly rows merged across the
+    # Jan 16 tier edge must equal the direct build over the raw interval
+    "dd_tiered_range_p90_events": oracles.percentile_sql(
+        "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'"
+        " AND ts < TIMESTAMP '2024-01-20 00:00:00') evt",
+        "value", 0.05, [0.9], keys=["event_type"]),
     "dd_quantiles_price_centered": oracles.percentile_sql(
         "lineitem", "(l_extendedprice - 51000.0)", 0.05,
         [0.1, 0.5, 0.9]),
@@ -1663,6 +1713,7 @@ ORACLES: dict[str, str] = {
     "bloom_member_orderkeys": oracles.bloom_member_sql(
         "orders", "o_orderkey", 1 << 16, 5, BLOOM_PROBES),
     "kll_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
+    "kll_precombine_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
     "kll_weighted_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
     "tdigest_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
     "tdigest_weighted_rank_bound_price": oracles.bound_rows_sql(BOUND_QS),
