@@ -512,3 +512,40 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             f"{max_iter} rounds; raise max_iter (pointer doubling needs "
             f"O(log n) rounds, so this indicates a pathological graph)")
     return labels
+
+
+# ------------------------------------------------------- decontamination
+
+def ngram_containment(docs: DataFrame, probes: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      probe_id_col: str = "pid",
+                      probe_text_col: str = "text",
+                      k: int = SHINGLE_K,
+                      threshold: float = 0.0) -> DataFrame:
+    """Benchmark decontamination primitive: ``doc_id, pid, containment``
+    where containment = |distinct k-shingles of probe present in doc| /
+    |distinct k-shingles of probe| — the standard n-gram-overlap test for
+    "does this training document contain (part of) this benchmark item".
+
+    100 TB shape: the probe set (a benchmark) is SMALL — its distinct
+    shingles and sizes are broadcast, so the corpus never shuffles for
+    the join. The doc-side shingle explode feeds the broadcast hash join
+    directly (non-matching shingles — almost all of them — die in the
+    map stage); only MATCHED (doc, probe, shingle) rows reach the
+    count-distinct shuffle, which for real contamination rates is
+    vanishingly small next to the scan. ``threshold`` filters the output
+    to suspect pairs (containment >= threshold)."""
+    dsh = shingle_rows(docs, id_col, text_col, k)
+    psh = (shingle_rows(probes, probe_id_col, probe_text_col, k)
+           .distinct().withColumnRenamed("id", "pid"))
+    psz = psh.groupBy("pid").agg(F.count(F.lit(1)).alias("__sz"))
+    inter = (dsh.join(F.broadcast(psh), on="sh")
+             .groupBy("id", "pid")
+             .agg(F.count_distinct("sh").alias("__m")))
+    out = (inter.join(F.broadcast(psz), on="pid")
+           .select(F.col("id").alias(id_col), "pid",
+                   round6(F.col("__m").cast("double") / F.col("__sz"))
+                   .alias("containment")))
+    if threshold > 0.0:
+        out = out.where(F.col("containment") >= threshold)
+    return out

@@ -1080,3 +1080,38 @@ SELECT 'video_frames' AS grp, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(floor(f0 * 1000000.0) AS BIGINT)) AS BIGINT) AS f0_micro
 FROM frame_f0
 """
+
+
+def ngram_containment_sql(probe_pred: str, threshold: float,
+                          table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """Rows ``doc_id, pid, containment`` — mirror of
+    textops.ngram_containment: fraction of the probe's DISTINCT
+    k-shingles present in each document, thresholded. Probes are the
+    table rows matching ``probe_pred``."""
+    k = SHINGLE_K
+    return f"""
+WITH dpos AS (
+  SELECT {id_col} AS id, {text_col} AS t,
+         unnest(range(1, greatest(length({text_col}) - {k} + 1, 1) + 1)) AS i
+  FROM {table}
+),
+dsh AS (
+  SELECT DISTINCT id, substr(t, CAST(i AS INTEGER), {k}) AS sh FROM dpos
+),
+psh AS (
+  SELECT DISTINCT id AS pid, sh FROM dsh
+  WHERE id IN (SELECT {id_col} FROM {table} WHERE {probe_pred})
+),
+psz AS (SELECT pid, count(*) AS sz FROM psh GROUP BY pid),
+m AS (
+  SELECT d.id, p.pid, count(*) AS mm
+  FROM dsh d JOIN psh p USING (sh) GROUP BY d.id, p.pid
+)
+SELECT doc_id, pid, containment FROM (
+  SELECT m.id AS doc_id, m.pid,
+         floor(CAST(mm AS DOUBLE) / sz * 1000000.0 + 0.5) / 1000000.0
+           AS containment
+  FROM m JOIN psz USING (pid)
+) WHERE containment >= {threshold}
+"""

@@ -985,6 +985,27 @@ from ddsketch_spark.operators.textops import (  # noqa: E402
 )
 
 MIRROR_OFFSET = 1_000_000
+DECON_PROBE_MOD = 101
+DECON_THRESHOLD = 0.5
+
+
+def decontaminate_docs(spark, sf_dir):
+    """doc_id, pid, containment — benchmark decontamination through the
+    driver (textops.ngram_containment): every ~101st document plays the
+    benchmark set; for each (document, probe) pair the fraction of the
+    probe's distinct 8-shingles contained in the document is computed
+    via a BROADCAST of the probe shingle set (the corpus never shuffles
+    for the join; only matched shingles reach the count-distinct), and
+    pairs at containment >= 0.5 are flagged. The oracle replays the
+    identical distinct-shingle containment in SQL."""
+    from ddsketch_spark.operators.textops import ngram_containment
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = (docs.where(F.col("doc_id") % DECON_PROBE_MOD == 0)
+              .select(F.col("doc_id").alias("pid"), "text"))
+    return ngram_containment(docs, probes, threshold=DECON_THRESHOLD)
+
+
 ANN_N_QUERIES = 10
 ANN_K = 5
 ANN_IVF_CELLS = 8
@@ -1503,16 +1524,17 @@ QUERIES: dict[str, Callable] = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_cosine_pairs_lsh": dedup_cosine_pairs_lsh,
+    "decontaminate_docs": decontaminate_docs,
     "sample_docs_deterministic": sample_docs_deterministic,
     "sample_docs_stratified": sample_docs_stratified,
     "text_profile_docs": text_profile_docs,
-    "tokens_top10": tokens_top10,
     "tokens_top5_by_lang": tokens_top5_by_lang,
     "tokens_topk_sketched": tokens_topk_sketched,
     "tokens_topk_sketched_by_lang": tokens_topk_sketched_by_lang,
-    # --- driver-cap overflow tail (51-69): all 19 were driver-checked
+    # --- driver-cap overflow tail (51-70): all 20 were driver-checked
     # --- green in r4 (CORRECTNESS_r04.json); rotate back into the top
     # --- 50 in r6 so no row goes two consecutive rounds unchecked ---
+    "tokens_top10": tokens_top10,
     # --- similarity / multimodal / pipeline
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine_topk": ann_lsh_cosine_topk,
@@ -1725,6 +1747,8 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": oracles.simhash_dup_sql(oracles.mirrored_docs_sql()),
     "dedup_cosine_pairs": oracles.cosine_dup_sql(COS_DUP_THRESHOLD),
     "dedup_cosine_pairs_lsh": oracles.cosine_dup_lsh_sql(COS_DUP_THRESHOLD),
+    "decontaminate_docs": oracles.ngram_containment_sql(
+        f"doc_id % {DECON_PROBE_MOD} = 0", DECON_THRESHOLD),
     "sample_docs_deterministic": (
         "SELECT doc_id, " + oracles.duckdb_h64_pub("text") + " AS fp "
         "FROM documents WHERE " + oracles.duckdb_h64_pub("text")

@@ -327,3 +327,25 @@ def test_rollup_is_single_shuffle_of_sketch_rows(spark, pages_path):
     # adds exactly one more for the coarse-key merge)
     n_ex = lambda p: len(re.findall(r"\(\d+\) Exchange", p))
     assert n_ex(plan) == n_ex(_plan(hourly)) + 1, plan
+
+
+def test_decontamination_broadcasts_probe_shingles(spark):
+    """ngram_containment must broadcast the (small) probe shingle set:
+    the corpus-side shingle explode feeds a BroadcastHashJoin directly —
+    no corpus-wide shuffle before the join, no nested-loop join."""
+    from ddsketch_spark.operators.textops import ngram_containment
+
+    pdf = pd.DataFrame({"doc_id": range(300),
+                        "text": [f"some document body {i} with text" * 3
+                                 for i in range(300)]})
+    docs = spark.createDataFrame(pdf)
+    probes = (docs.where(F.col("doc_id") % 50 == 0)
+              .select(F.col("doc_id").alias("pid"), "text"))
+    plan = _plan(ngram_containment(docs, probes, threshold=0.5))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # the only Exchanges are broadcasts + the post-join count-distinct
+    # aggregation; the corpus side reaches the join without a shuffle
+    tree = plan.split("(1) Scan")[0] or plan
+    join_seg = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in join_seg, join_seg[-1500:]
