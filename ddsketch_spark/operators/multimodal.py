@@ -207,8 +207,12 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
                              offset=offset).reshape(h, stride)[:, :w]
         idx = rows if top_down else rows[::-1]
         bgr = pal[idx][:, :, :3]
-        if np.all(bgr[..., 0] == bgr[..., 1]) and np.all(
-                bgr[..., 1] == bgr[..., 2]):
+        # gray-vs-RGB is a property of the PALETTE (the file format),
+        # never of the rendered pixels: a color-palette image whose
+        # pixels happen to reference only gray entries (e.g. a black
+        # frame) must keep the (h, w, 3) shape so per-row feature
+        # dimensions are a function of the container, not the content
+        if bool(np.all((pal[:, 0] == pal[:, 1]) & (pal[:, 1] == pal[:, 2]))):
             return np.ascontiguousarray(bgr[..., 0])     # grayscale palette
         return np.ascontiguousarray(bgr[..., ::-1])      # BGR -> RGB
     if bpp == 24:

@@ -29,10 +29,19 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import DoubleType, StructField
 
+from ddsketch_spark.core.ddsketch import from_bytes as dd_from_bytes
 from ddsketch_spark.operators import api
 from ddsketch_spark.operators.aggregate import (
     merge_sketches, merge_sketches_extract,
 )
+
+
+def _deser(on_overflow: str):
+    """Deserializer bound to the table's overflow policy: on_overflow is
+    not part of the wire format, so collapse-mode tables must deserialize
+    with on_overflow='collapse' for the level-reconciling merge to engage
+    when partials collapsed a different number of times."""
+    return lambda b: dd_from_bytes(b, on_overflow)
 
 __all__ = [
     "time_bucket", "build_sketch_table", "rollup", "range_percentile",
@@ -62,18 +71,22 @@ def build_sketch_table(df: DataFrame, ts_col: str, value_col: str,
                        granularity_seconds: int,
                        keys: Sequence[str] = (),
                        weight_col: str | None = None,
-                       bucket_col: str = "bucket") -> DataFrame:
+                       bucket_col: str = "bucket",
+                       on_overflow: str = "error") -> DataFrame:
     """Fine-grained sketch table: ``bucket, keys..., sketch, n`` — one
     row per (time bucket, key). One partial-aggregated pass over the raw
     data (JVM-native bucket cells); persist with sources.tables.write_table
-    partitioned however the bucket cardinality suggests."""
+    partitioned however the bucket cardinality suggests. Pass the SAME
+    ``on_overflow`` here and to every later rollup/range call over the
+    table — the policy is not serialized in the sketch bytes."""
     keys = list(keys)
     base = df.select(
         time_bucket(ts_col, granularity_seconds).alias(bucket_col),
         *keys, value_col,
         *( [weight_col] if weight_col else [] ))
     return api.ddsketch(base, value_col, alpha, nbuckets,
-                        keys=[bucket_col] + keys, weight_col=weight_col)
+                        keys=[bucket_col] + keys, weight_col=weight_col,
+                        on_overflow=on_overflow)
 
 
 def windowed_sketches_as_table(assembled: DataFrame,
@@ -130,7 +143,8 @@ def _check_multiple(coarse: int, fine: int) -> None:
 
 def rollup(sketch_table: DataFrame, coarse_granularity_seconds: int,
            fine_granularity_seconds: int, keys: Sequence[str] = (),
-           bucket_col: str = "bucket") -> DataFrame:
+           bucket_col: str = "bucket",
+           on_overflow: str = "error") -> DataFrame:
     """Coarsen a sketch table: merge fine buckets into
     ``coarse_granularity_seconds`` buckets — ``bucket, keys..., sketch,
     n`` again, so rollups chain (hourly -> daily -> weekly). The merge
@@ -144,6 +158,7 @@ def rollup(sketch_table: DataFrame, coarse_granularity_seconds: int,
     # n_col: a rollup row's n = sum of its children's contributing
     # rows, not the number of merged sketch rows
     return merge_sketches(coarse, "sketch", keys=[bucket_col] + keys,
+                          from_bytes=_deser(on_overflow),
                           n_col="n" if "n" in sketch_table.columns else None)
 
 
@@ -159,7 +174,8 @@ def range_percentile(sketch_table: DataFrame, t0, t1, qs: Sequence[float],
                      fine_granularity_seconds: int,
                      keys: Sequence[str] = (),
                      bucket_col: str = "bucket",
-                     partition_granularity_seconds: int | None = None) -> DataFrame:
+                     partition_granularity_seconds: int | None = None,
+                     on_overflow: str = "error") -> DataFrame:
     """Quantiles over an aligned time range from stored partials:
     ``keys..., q, est`` for raw-value timestamps in ``[t0, t1)``.
 
@@ -193,14 +209,16 @@ def range_percentile(sketch_table: DataFrame, t0, t1, qs: Sequence[float],
         in_range, "sketch", list(keys),
         lambda s: {"q": qs, "est": [float(e) for e in s.quantile(qs)]},
         [StructField("q", DoubleType(), False),
-         StructField("est", DoubleType(), True)])
+         StructField("est", DoubleType(), True)],
+        from_bytes=_deser(on_overflow))
 
 
 def compact_sketch_table(sketch_table: DataFrame, boundary,
                          fine_granularity_seconds: int,
                          coarse_granularity_seconds: int,
                          keys: Sequence[str] = (),
-                         bucket_col: str = "bucket") -> DataFrame:
+                         bucket_col: str = "bucket",
+                         on_overflow: str = "error") -> DataFrame:
     """Tiered retention (the continuous-aggregate compaction policy):
     buckets OLDER than ``boundary`` are rolled up to the coarse grain,
     recent buckets stay fine — e.g. hourly for the last 7 days, daily
@@ -225,7 +243,8 @@ def compact_sketch_table(sketch_table: DataFrame, boundary,
     cols = [bucket_col] + keys + ["sketch", "n"]
     old = sketch_table.where(F.col(bucket_col) < e_b).select(*cols)
     recent = sketch_table.where(F.col(bucket_col) >= e_b).select(*cols)
-    compacted = rollup(old, coarse, fine, keys, bucket_col).select(*cols)
+    compacted = rollup(old, coarse, fine, keys, bucket_col,
+                       on_overflow=on_overflow).select(*cols)
     return (compacted.withColumn("gran", F.lit(coarse).cast("long"))
             .unionByName(recent.withColumn("gran",
                                            F.lit(fine).cast("long"))))
@@ -236,7 +255,8 @@ def range_percentile_tiered(tiered: DataFrame, t0, t1, qs: Sequence[float],
                             fine_granularity_seconds: int,
                             coarse_granularity_seconds: int,
                             keys: Sequence[str] = (),
-                            bucket_col: str = "bucket") -> DataFrame:
+                            bucket_col: str = "bucket",
+                            on_overflow: str = "error") -> DataFrame:
     """Range quantiles over a :func:`compact_sketch_table` table:
     ``keys..., q, est`` for raw timestamps in ``[t0, t1)``, merging fine
     and coarse rows across the tier boundary.
@@ -268,4 +288,5 @@ def range_percentile_tiered(tiered: DataFrame, t0, t1, qs: Sequence[float],
         in_range, "sketch", list(keys),
         lambda s: {"q": qs, "est": [float(e) for e in s.quantile(qs)]},
         [StructField("q", DoubleType(), False),
-         StructField("est", DoubleType(), True)])
+         StructField("est", DoubleType(), True)],
+        from_bytes=_deser(on_overflow))

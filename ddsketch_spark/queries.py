@@ -238,8 +238,30 @@ SKETCH_STORE_ROOT = _os.path.join(
 # paths written by THIS process; cleaned on the next invocation (the
 # written table must outlive the returned lazy plan, so invocation N's
 # dir is deleted by invocation N+1). Other sessions' dirs are never
-# touched — no cross-process rmtree race (r4 ADVICE).
+# touched while fresh — no cross-process rmtree race (r4 ADVICE) — but a
+# process's LAST dirs would leak forever, so an age-based sweep reclaims
+# sibling dirs old enough that no live plan can still reference them.
 _OWNED_STORE_PATHS: list[str] = []
+_SCRATCH_MAX_AGE_S = 6 * 3600
+
+
+def _sweep_stale_scratch() -> None:
+    """Delete scratch dirs older than _SCRATCH_MAX_AGE_S (mtime of the
+    dir entry). Fresh dirs of other live processes are untouched."""
+    import shutil
+    import time as _time
+
+    try:
+        entries = _os.scandir(SKETCH_STORE_ROOT)
+    except FileNotFoundError:
+        return
+    cutoff = _time.time() - _SCRATCH_MAX_AGE_S
+    for e in entries:
+        try:
+            if e.is_dir() and e.stat().st_mtime < cutoff:
+                shutil.rmtree(e.path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def dd_sketch_store_roundtrip(spark, sf_dir):
@@ -267,6 +289,7 @@ def dd_sketch_store_roundtrip(spark, sf_dir):
     for p in _OWNED_STORE_PATHS:         # this process's prior runs only
         shutil.rmtree(p, ignore_errors=True)
     _OWNED_STORE_PATHS.clear()
+    _sweep_stale_scratch()               # reclaim exited processes' dirs
     path = f"{SKETCH_STORE_ROOT}/{_uuid_mod.uuid4().hex[:12]}"
     _OWNED_STORE_PATHS.append(path)
     write_table(fine, path)
@@ -706,7 +729,13 @@ def stream_sessionized_p90_clicks(spark, sf_dir):
     base = f"{SKETCH_STORE_ROOT}/sess_{_uuid.uuid4().hex[:12]}"
     _OWNED_STREAM_PATHS.append(base)
     src = f"{base}/src"
-    clicks.coalesce(4).write.parquet(src)
+    # ONE data file: with maxFilesPerTrigger=1 the file source orders
+    # batches by modification time, and parallel task commits make that
+    # ordering arbitrary — an out-of-order later-range file would advance
+    # the watermark and silently drop earlier files' rows from their
+    # sessions. One file + the sentinel = the deterministic two-batch
+    # replay the docstring describes (the test_sessionized pattern).
+    clicks.coalesce(1).write.parquet(src)
     max_ts = clicks.agg(F.max("ts")).collect()[0][0]
     _time.sleep(1.2)     # file-source batches order by modification time
     sentinel = spark.createDataFrame(
@@ -892,8 +921,13 @@ def _rank_bound_query(spark, sf_dir, factory, from_bytes, precombine=False):
     # (6x input), no broadcast exchange, no extra shuffle — at 100 TB the
     # verification costs exactly one scan.
     if precombine:
-        pre = df.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("w"))
-        ests = _gather_estimates(pre, factory, from_bytes, weight_col="w")
+        # drive sketch_agg's ACTUAL precombine branch (JVM duplicate
+        # collapse + n_from_weight lineage), not a reimplementation — a
+        # regression inside that branch must flip this driver row
+        from ddsketch_spark.operators.aggregate import sketch_agg
+        row = sketch_agg(df, "v", factory=factory, from_bytes=from_bytes,
+                         precombine=True).collect()[0]
+        ests = from_bytes(bytes(row["sketch"])).quantile(BOUND_QS)
     else:
         ests = _gather_estimates(df, factory, from_bytes)
     aggs = []
@@ -1376,6 +1410,7 @@ def stream_heavy_hitters_events(spark, sf_dir):
     for p in _OWNED_STREAM_PATHS:        # this process's prior runs only
         shutil.rmtree(p, ignore_errors=True)
     _OWNED_STREAM_PATHS.clear()
+    _sweep_stale_scratch()               # reclaim exited processes' dirs
     base = f"{SKETCH_STORE_ROOT}/hh_{_uuid.uuid4().hex[:12]}"
     _OWNED_STREAM_PATHS.append(base)
     src = f"{base}/src"
@@ -1469,14 +1504,19 @@ def ann_ivf_cosine_topk(spark, sf_dir):
 
 # Catalog order is a DRIVER CONTRACT: the correctness driver checks the
 # FIRST 50 entries; tools/verify_contract.py still checks ALL entries at
-# three SFs. ROTATION POLICY (r4 verdict item 2): the catalog (63 rows)
+# three SFs. ROTATION POLICY (r4 verdict item 2): the catalog (70 rows)
 # exceeds the 50-row cap, so each round the tail is restocked with rows
 # that got a driver row LAST round — no row may sit in the tail two
 # consecutive rounds. This round (r5): the 10 rows that were tail in r4
-# are back in the top 50, joined by the 3 NEW rows
+# are back in the top 50, joined by the 10 NEW rows
 # (tokens_topk_sketched_by_lang, stream_sliding_p90_events,
-# stream_heavy_hitters_events); 13 rows driver-checked green in r4 absorb
-# the overflow. NEXT round: swap the current tail back into the top 50.
+# stream_heavy_hitters_events, stream_sessionized_p90_clicks,
+# stream_windowed_hll_users, dd_rollup_daily_p90_events,
+# dd_range_p95_from_hourly, dd_tiered_range_p90_events,
+# kll_precombine_rank_bound_price, decontaminate_docs); the 20-row tail
+# (all driver-checked green in r4) absorbs the overflow. NEXT round
+# (r6): swap the current tail back into the top 50 — every tail row will
+# then have sat out exactly one round.
 QUERIES: dict[str, Callable] = {
     # --- DDSketch family
     "dd_quantiles_price_by_flag": dd_quantiles_price_by_flag,

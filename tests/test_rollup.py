@@ -254,3 +254,39 @@ def test_tiered_validation(spark, events):
         tiered, T0 + dt.timedelta(days=2),
         T0 + dt.timedelta(days=7, hours=5), [0.5], boundary, HOUR, DAY)
     assert out.count() == 1
+
+
+def test_collapse_mode_rollup(spark, events):
+    """A collapse-mode sketch table (tiny bucket budget on wide-range
+    data, partials may collapse a different number of times per bucket)
+    must roll up via the level-reconciling merge when the SAME policy is
+    passed — and the rolled-up estimates must match a direct collapse-
+    mode build at the daily grain."""
+    from ddsketch_spark.core.ddsketch import from_bytes
+    from ddsketch_spark.operators.rollup import rollup as _rollup
+
+    df, _ = events
+    # widen the dynamic range so a 32-bucket budget actually collapses
+    wide = df.withColumn(
+        "v", F.when(F.col("v").isNotNull(),
+                    F.pow(F.col("v") + 1.0, 5.0)).otherwise(F.lit(None)))
+    hourly = build_sketch_table(wide, "ts", "v", 0.01, 32, HOUR,
+                                keys=["etype"], on_overflow="collapse")
+    daily = _rollup(hourly, DAY, HOUR, keys=["etype"],
+                    on_overflow="collapse")
+    direct = dd_api(
+        wide.select(time_bucket("ts", DAY).alias("bucket"), "etype", "v"),
+        "v", 0.01, 32, keys=["bucket", "etype"], on_overflow="collapse")
+    got = {(r["bucket"], r["etype"]):
+           from_bytes(bytes(r["sketch"]), "collapse") for r in daily.collect()}
+    want = {(r["bucket"], r["etype"]):
+            from_bytes(bytes(r["sketch"]), "collapse") for r in direct.collect()}
+    assert got.keys() == want.keys() and len(got) >= 20
+    for k in want:
+        assert got[k].count == want[k].count
+        # collapse order can differ between merge trees; the estimates
+        # must agree within the (collapsed) alpha of the coarser side
+        a = max(got[k].alpha, want[k].alpha)
+        for qa, qb in zip(got[k].quantile([0.5, 0.9]),
+                          want[k].quantile([0.5, 0.9])):
+            assert abs(qa - qb) <= a * max(abs(qa), abs(qb)) * 2 + 1e-9
