@@ -414,32 +414,45 @@ def _double_hash_pos(width: int) -> str:
 
 
 def cms_freq_sql(table: str, expr: str, depth: int, width: int,
-                 probes: Sequence[str], weight_expr: str | None = None) -> str:
-    """Rows ``item, freq`` — mirror of core.cms.CMS.estimate() for literal
-    probe values (probe positions precomputed in Python, data side in SQL).
-    ``weight_expr`` makes it a weighted frequency sketch (sum of weights
-    instead of row counts)."""
+                 probes: Sequence[str], weight_expr: str | None = None,
+                 keys: Sequence[str] = ()) -> str:
+    """Rows ``keys..., item, freq`` — mirror of core.cms.CMS.estimate()
+    for literal probe values (probe positions precomputed in Python, data
+    side in SQL). ``weight_expr`` makes it a weighted frequency sketch
+    (sum of weights instead of row counts); ``keys`` gives one
+    independent sketch per key group (e.g. a streaming window start)."""
+    keys = list(keys)
     w = f"CAST(COALESCE({weight_expr}, 1) AS BIGINT)" if weight_expr else "CAST(1 AS BIGINT)"
+    ksel = "".join(f"{k}, " for k in keys)
+    kgroup = "".join(f"{k}, " for k in keys)
+    kg_on = " AND ".join(f"c.{k} = g.{k}" for k in keys)
     probe_rows = []
     for item in probes:
         for i, p in enumerate(py_positions(str(item), depth, width)):
             probe_rows.append(f"('{item}', {i}, {p})")
     values = ", ".join(probe_rows)
+    kgrid = (f"(SELECT DISTINCT {', '.join(keys)} FROM hs) g CROSS JOIN "
+             if keys else "")
+    gk = "".join(f"g.{k}, " for k in keys) if keys else ""
+    join_on = (f"ON {kg_on} AND c.i = pr.i AND c.p = pr.p" if keys
+               else "ON c.i = pr.i AND c.p = pr.p")
     return f"""
 WITH hs AS (
-  SELECT {duckdb_h64(expr)} AS h, {w} AS w FROM {table} WHERE {expr} IS NOT NULL
+  SELECT {ksel}{duckdb_h64(expr)} AS h, {w} AS w
+  FROM {table} WHERE {expr} IS NOT NULL
 ),
 pos AS (
-  SELECT r.i AS i, {_double_hash_pos(width)} AS p, w
+  SELECT {ksel}r.i AS i, {_double_hash_pos(width)} AS p, w
   FROM hs, range({depth}) AS r(i)
 ),
 counters AS (
-  SELECT i, p, CAST(sum(w) AS BIGINT) AS c FROM pos GROUP BY i, p
+  SELECT {ksel}i, p, CAST(sum(w) AS BIGINT) AS c FROM pos
+  GROUP BY {kgroup}i, p
 ),
 probes(item, i, p) AS (VALUES {values})
-SELECT pr.item AS item, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS freq
-FROM probes pr LEFT JOIN counters c ON c.i = pr.i AND c.p = pr.p
-GROUP BY pr.item
+SELECT {gk}pr.item AS item, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS freq
+FROM {kgrid}probes pr LEFT JOIN counters c {join_on}
+GROUP BY {gk}pr.item
 """
 
 

@@ -585,3 +585,78 @@ def sessionized_bucket_counts(
                 F.col("session_window.end").alias("session_end"),
                 "cells", "cnt")
     )
+
+
+def windowed_cms_cells(
+    stream_df: DataFrame,
+    ts_col: str,
+    hash_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    depth: int = 5,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Streaming count-min per event-time window, fully JVM-native: CMS
+    counters are SUMS over per-row (stride, position) cells — like the
+    DDSketch bucket cells and HLL register maxes, the whole operator is a
+    built-in watermarked streaming aggregation. Emits (append mode,
+    finalized windows only) ``window_start, window_end, i, pos, c``
+    rows; feed them to :func:`windowed_cms_estimates` for per-window
+    frequency estimates. ``hash_col`` is the shared 60-bit hash."""
+    from ddsketch_spark.operators.native import _positions_exprs
+
+    w = (F.coalesce(F.col(weight_col).cast("long"), F.lit(1))
+         if weight_col else F.lit(1).cast("long"))
+    return (
+        stream_df
+        .withWatermark(ts_col, watermark_delay)
+        .where(F.col(hash_col).isNotNull())
+        .select(F.col(ts_col), _positions_exprs(hash_col, depth, width),
+                w.alias("__w"))
+        .select(F.col(ts_col), F.col("ip.i").alias("i"),
+                F.col("ip.pos").alias("pos"), "__w")
+        .groupBy(F.window(ts_col, window_duration), "i", "pos")
+        .agg(F.sum("__w").alias("c"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"), "i", "pos", "c")
+    )
+
+
+def windowed_cms_estimates(
+    cell_rows: DataFrame,
+    probe_items: Sequence[str],
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """Batch post-processing of :func:`windowed_cms_cells` output:
+    ``window_start, item, freq`` — count-min estimate (min over strides,
+    absent counter = 0) for each literal probe item in each finalized
+    window. Pure JVM: probe positions are precomputed literals, windows
+    come from the cells themselves, and the estimate is a broadcast left
+    join + min aggregation — no sketch materialization, no Python."""
+    from ddsketch_spark.core.hashing import py_positions
+
+    spark = cell_rows.sparkSession
+    probe_rows = []
+    for item in probe_items:
+        for i, p in enumerate(py_positions(str(item), depth, width)):
+            probe_rows.append((str(item), int(i), int(p)))
+    probes = spark.createDataFrame(probe_rows, "item string, i int, pos int")
+    # window list and counter cells share lineage (a self-join): alias
+    # every column on both sides so each projection mints fresh
+    # attribute ids and the join condition is name-unambiguous
+    w = (cell_rows.select(F.col("window_start").alias("__ws"))
+         .distinct())
+    cells = cell_rows.select(
+        F.col("window_start").alias("__cw"), F.col("i").alias("__ci"),
+        F.col("pos").alias("__cp"), F.col("c").alias("__cc"))
+    grid = w.crossJoin(F.broadcast(probes))
+    joined = grid.join(
+        cells, on=[F.col("__ws") == F.col("__cw"),
+                   F.col("i") == F.col("__ci"),
+                   F.col("pos") == F.col("__cp")], how="left")
+    return (joined
+            .groupBy(F.col("__ws").alias("window_start"), F.col("item"))
+            .agg(F.min(F.coalesce(F.col("__cc"), F.lit(0).cast("long")))
+                 .alias("freq")))

@@ -658,3 +658,59 @@ def test_stateful_heavy_hitters_weighted(spark, tmp_path):
     assert row["total"] == 17
     assert list(row["topk_items"]) == ["a", "c", "b"]
     assert list(row["topk_counts"]) == [8, 7, 2]
+
+
+def test_windowed_cms_cells_equals_batch(spark, tmp_path):
+    """Streaming windowed count-min (counter sums as a built-in
+    watermarked agg) estimates the same frequencies as a batch CMS over
+    the same finalized-window rows — including zero-frequency probes."""
+    import time as _time
+
+    import numpy as np
+
+    from ddsketch_spark.core.cms import CMS
+    from ddsketch_spark.core.hashing import py_h64
+    from ddsketch_spark.streaming.sketch_stream import (
+        windowed_cms_cells, windowed_cms_estimates,
+    )
+
+    src = str(tmp_path / "csrc")
+    ckpt = str(tmp_path / "cckpt")
+    out_dir = str(tmp_path / "cout")
+    base = pd.Timestamp("2025-06-01 10:00:00")
+
+    def write_file(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "h"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    w10 = ["click"] * 7 + ["view"] * 3
+    w11 = ["view"] * 5 + ["purchase"] * 2
+    write_file([(base + pd.Timedelta(minutes=i % 50), py_h64(x))
+                for i, x in enumerate(w10)])
+    write_file([(base + pd.Timedelta(minutes=65 + i % 40), py_h64(x))
+                for i, x in enumerate(w11)]
+               + [(base + pd.Timedelta(minutes=200), py_h64("adv"))])
+
+    stream = (spark.readStream.schema("ts timestamp, h long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cells = windowed_cms_cells(stream, "ts", "h", "1 hour", "30 minutes",
+                               depth=5, width=512)
+    q = (cells.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination()
+
+    probes = ["click", "view", "purchase", "absent"]
+    got = {(r["window_start"], r["item"]): r["freq"]
+           for r in windowed_cms_estimates(
+               spark.read.parquet(out_dir), probes, 5, 512).collect()}
+    key11 = base + pd.Timedelta(hours=1)
+    for wkey, items in ((base, w10), (key11, w11)):
+        cms = CMS(5, 512).update(
+            np.array([py_h64(x) for x in items], dtype=np.int64))
+        want = cms.estimate(np.array([py_h64(p) for p in probes],
+                                     dtype=np.int64))
+        for p, wf in zip(probes, want):
+            assert got[(wkey, p)] == int(wf), (wkey, p)
