@@ -36,11 +36,17 @@ from ddsketch_spark.operators.aggregate import (
 )
 
 
-def _deser(on_overflow: str):
-    """Deserializer bound to the table's overflow policy: on_overflow is
-    not part of the wire format, so collapse-mode tables must deserialize
-    with on_overflow='collapse' for the level-reconciling merge to engage
-    when partials collapsed a different number of times."""
+def _deser(on_overflow: str, from_bytes=None):
+    """Deserializer for the table's sketch column. Default: DDSketch
+    bound to the table's overflow policy (on_overflow is not in the wire
+    format, so collapse-mode tables must deserialize with
+    on_overflow='collapse' for the level-reconciling merge to engage).
+    Pass ``from_bytes`` to roll up ANY mergeable-sketch table instead —
+    HLL (register max), KMV (bottom-k union), CMS, Bloom: every kernel
+    with an associative ``merge`` works, because a time rollup IS just a
+    keyed N-way merge."""
+    if from_bytes is not None:
+        return from_bytes
     return lambda b: dd_from_bytes(b, on_overflow)
 
 __all__ = [
@@ -144,7 +150,8 @@ def _check_multiple(coarse: int, fine: int) -> None:
 def rollup(sketch_table: DataFrame, coarse_granularity_seconds: int,
            fine_granularity_seconds: int, keys: Sequence[str] = (),
            bucket_col: str = "bucket",
-           on_overflow: str = "error") -> DataFrame:
+           on_overflow: str = "error",
+           from_bytes=None) -> DataFrame:
     """Coarsen a sketch table: merge fine buckets into
     ``coarse_granularity_seconds`` buckets — ``bucket, keys..., sketch,
     n`` again, so rollups chain (hourly -> daily -> weekly). The merge
@@ -158,7 +165,7 @@ def rollup(sketch_table: DataFrame, coarse_granularity_seconds: int,
     # n_col: a rollup row's n = sum of its children's contributing
     # rows, not the number of merged sketch rows
     return merge_sketches(coarse, "sketch", keys=[bucket_col] + keys,
-                          from_bytes=_deser(on_overflow),
+                          from_bytes=_deser(on_overflow, from_bytes),
                           n_col="n" if "n" in sketch_table.columns else None)
 
 

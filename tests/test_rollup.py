@@ -290,3 +290,29 @@ def test_collapse_mode_rollup(spark, events):
         for qa, qb in zip(got[k].quantile([0.5, 0.9]),
                           want[k].quantile([0.5, 0.9])):
             assert abs(qa - qb) <= a * max(abs(qa), abs(qb)) * 2 + 1e-9
+
+
+def test_rollup_generic_sketch_type_hll(spark, events):
+    """A time rollup is just a keyed N-way merge, so it works for ANY
+    mergeable sketch given its deserializer: an hourly per-type HLL
+    distinct-user table rolled up to daily must carry the exact same
+    registers as a direct daily build."""
+    from ddsketch_spark.core import hll as hll_mod
+    from ddsketch_spark.core.hashing import spark_h64
+    from ddsketch_spark.operators.native import hll_agg_native
+    from ddsketch_spark.operators.rollup import rollup as _rollup
+
+    df, _ = events
+    hashed = df.select(
+        time_bucket("ts", HOUR).alias("bucket"), "etype",
+        spark_h64(F.col("v").cast("string")).alias("__h"))
+    hourly = hll_agg_native(hashed, "__h", p=10, keys=["bucket", "etype"])
+    daily = _rollup(hourly, DAY, HOUR, keys=["etype"],
+                    from_bytes=hll_mod.from_bytes)
+    dhashed = hashed.withColumn(
+        "bucket", F.col("bucket") - F.pmod(F.col("bucket"), F.lit(DAY)))
+    direct = hll_agg_native(dhashed, "__h", p=10, keys=["bucket", "etype"])
+    got = by_key(daily, ["bucket", "etype"])
+    want = by_key(direct, ["bucket", "etype"])
+    assert got.keys() == want.keys() and len(got) >= 20
+    assert all(got[k] == want[k] for k in want)
