@@ -457,27 +457,37 @@ GROUP BY {gk}pr.item
 
 
 def bloom_member_sql(table: str, expr: str, nbits: int, k: int,
-                     probes: Sequence[str]) -> str:
-    """Rows ``item, member`` — mirror of core.bloom.Bloom.contains() for
-    literal probes (false positives included: both sides compute the same
-    bit positions, so even FP results match exactly)."""
+                     probes: Sequence[str],
+                     keys: Sequence[str] = ()) -> str:
+    """Rows ``keys..., item, member`` — mirror of
+    core.bloom.Bloom.contains() for literal probes (false positives
+    included: both sides compute the same bit positions, so even FP
+    results match exactly). ``keys`` gives one independent filter per
+    key group (e.g. a streaming window start)."""
+    keys = list(keys)
+    ksel = "".join(f"{kk}, " for kk in keys)
     probe_rows = []
     for item in probes:
         for p in py_positions(str(item), k, nbits):
             probe_rows.append(f"('{item}', {p})")
     values = ", ".join(probe_rows)
+    kgrid = (f"(SELECT DISTINCT {', '.join(keys)} FROM hs) g CROSS JOIN "
+             if keys else "")
+    gk = "".join(f"g.{kk}, " for kk in keys)
+    kd_on = " AND ".join(f"d.{kk} = g.{kk}" for kk in keys)
+    join_on = (f"ON {kd_on} AND d.p = pr.p" if keys else "ON d.p = pr.p")
     return f"""
 WITH hs AS (
-  SELECT {duckdb_h64(expr)} AS h FROM {table} WHERE {expr} IS NOT NULL
+  SELECT {ksel}{duckdb_h64(expr)} AS h FROM {table} WHERE {expr} IS NOT NULL
 ),
 datapos AS (
-  SELECT DISTINCT {_double_hash_pos(nbits)} AS p
+  SELECT DISTINCT {ksel}{_double_hash_pos(nbits)} AS p
   FROM hs, range({k}) AS r(i)
 ),
 probes(item, p) AS (VALUES {values})
-SELECT pr.item AS item, bool_and(d.p IS NOT NULL) AS member
-FROM probes pr LEFT JOIN datapos d ON d.p = pr.p
-GROUP BY pr.item
+SELECT {gk}pr.item AS item, bool_and(d.p IS NOT NULL) AS member
+FROM {kgrid}probes pr LEFT JOIN datapos d {join_on}
+GROUP BY {gk}pr.item
 """
 
 

@@ -803,6 +803,46 @@ def stream_windowed_hll_users(spark, sf_dir):
     return out
 
 
+BLOOM_STREAM_PROBES = ["0", "3", "7", "42", "no-such-user"]
+BLOOM_STREAM_NBITS = 1 << 12
+
+
+def stream_windowed_bloom_users(spark, sf_dir):
+    """wstart, item, member — streaming windowed BLOOM membership
+    through the driver: per-hour "did user X appear" via the JVM-native
+    windowed Bloom cell aggregation (set bits are a built-in watermarked
+    streaming DISTINCT over per-row positions — ``windowed_bloom_cells``,
+    completing the additive-cell streaming family: DDSketch counts, HLL
+    maxes, CMS sums, Bloom presence). The oracle replays the identical
+    double-hash bit positions in SQL keyed by the hour bucket — false
+    positives match exactly, so even a single mis-set bit across
+    micro-batch state hash-mismatches."""
+    import uuid as _uuid
+
+    from ddsketch_spark.streaming.sketch_stream import (
+        windowed_bloom_cells, windowed_bloom_members)
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .select("ts", spark_h64("user_id").alias("h")))
+    cells = windowed_bloom_cells(stream, "ts", "h", "1 hour",
+                                 "30 minutes", nbits=BLOOM_STREAM_NBITS,
+                                 k=5)
+    name = "stream_bloom_" + _uuid.uuid4().hex[:12]
+    q = (cells.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = windowed_bloom_members(spark.table(name), BLOOM_STREAM_PROBES,
+                                 nbits=BLOOM_STREAM_NBITS, k=5)
+    out = got.select(F.col("window_start").cast("long").alias("wstart"),
+                     "item", "member")
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def stream_windowed_cms_events(spark, sf_dir):
     """wstart, item, freq — streaming windowed COUNT-MIN through the
     driver: per-hour frequency estimates for the five event types via
@@ -1538,17 +1578,18 @@ def ann_ivf_cosine_topk(spark, sf_dir):
 
 # Catalog order is a DRIVER CONTRACT: the correctness driver checks the
 # FIRST 50 entries; tools/verify_contract.py still checks ALL entries at
-# three SFs. ROTATION POLICY (r4 verdict item 2): the catalog (71 rows)
+# three SFs. ROTATION POLICY (r4 verdict item 2): the catalog (72 rows)
 # exceeds the 50-row cap, so each round the tail is restocked with rows
 # that got a driver row LAST round — no row may sit in the tail two
 # consecutive rounds. This round (r5): the 10 rows that were tail in r4
-# are back in the top 50, joined by the 11 NEW rows
+# are back in the top 50, joined by the 12 NEW rows
 # (tokens_topk_sketched_by_lang, stream_sliding_p90_events,
 # stream_heavy_hitters_events, stream_sessionized_p90_clicks,
 # stream_windowed_hll_users, dd_rollup_daily_p90_events,
 # dd_range_p95_from_hourly, dd_tiered_range_p90_events,
 # kll_precombine_rank_bound_price, decontaminate_docs,
-# stream_windowed_cms_events); the 21-row tail
+# stream_windowed_cms_events, stream_windowed_bloom_users); the
+# 22-row tail
 # (all driver-checked green in r4) absorbs the overflow. NEXT round
 # (r6): swap the current tail back into the top 50 — every tail row will
 # then have sat out exactly one round.
@@ -1583,6 +1624,7 @@ QUERIES: dict[str, Callable] = {
     "stream_sessionized_p90_clicks": stream_sessionized_p90_clicks,
     "stream_windowed_hll_users": stream_windowed_hll_users,
     "stream_windowed_cms_events": stream_windowed_cms_events,
+    "stream_windowed_bloom_users": stream_windowed_bloom_users,
     "stream_heavy_hitters_events": stream_heavy_hitters_events,
     "cms_freq_event_types": cms_freq_event_types,
     "cms_reagg_event_types": cms_reagg_event_types,
@@ -1604,11 +1646,11 @@ QUERIES: dict[str, Callable] = {
     "sample_docs_deterministic": sample_docs_deterministic,
     "sample_docs_stratified": sample_docs_stratified,
     "text_profile_docs": text_profile_docs,
-    "tokens_topk_sketched": tokens_topk_sketched,
     "tokens_topk_sketched_by_lang": tokens_topk_sketched_by_lang,
-    # --- driver-cap overflow tail (51-71): all 21 were driver-checked
+    # --- driver-cap overflow tail (51-72): all 22 were driver-checked
     # --- green in r4 (CORRECTNESS_r04.json); rotate back into the top
     # --- 50 in r6 so no row goes two consecutive rounds unchecked ---
+    "tokens_topk_sketched": tokens_topk_sketched,
     "tokens_top10": tokens_top10,
     "tokens_top5_by_lang": tokens_top5_by_lang,
     # --- similarity / multimodal / pipeline
@@ -1795,6 +1837,11 @@ ORACLES: dict[str, str] = {
         "(SELECT *, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)"
         " AS wstart FROM events) evw", "event_type", 5, 2048,
         CMS_PROBES, keys=["wstart"]),
+    # identical double-hash Bloom bit positions keyed by the hour bucket
+    "stream_windowed_bloom_users": oracles.bloom_member_sql(
+        "(SELECT *, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)"
+        " AS wstart FROM events) evw", "user_id", BLOOM_STREAM_NBITS, 5,
+        BLOOM_STREAM_PROBES, keys=["wstart"]),
     # exact per-type top-5 identity + TRUE bound flags: a streaming
     # summary that lost a hitter or violated its own (I1) envelope flips
     # ok (or drops the item) and the hash compare fails

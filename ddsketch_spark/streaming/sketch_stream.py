@@ -660,3 +660,65 @@ def windowed_cms_estimates(
             .groupBy(F.col("__ws").alias("window_start"), F.col("item"))
             .agg(F.min(F.coalesce(F.col("__cc"), F.lit(0).cast("long")))
                  .alias("freq")))
+
+
+def windowed_bloom_cells(
+    stream_df: DataFrame,
+    ts_col: str,
+    hash_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    nbits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming Bloom filter per event-time window, fully JVM-native:
+    set bits are a DISTINCT over per-row (position) cells — the last of
+    the additive-cell family (DDSketch counts, HLL maxes, CMS sums,
+    Bloom bit-or == distinct presence), so the whole operator is a
+    built-in watermarked streaming aggregation. Emits (append mode,
+    finalized windows only) ``window_start, window_end, pos`` rows; feed
+    them to :func:`windowed_bloom_members`."""
+    from ddsketch_spark.operators.native import _positions_exprs
+
+    return (
+        stream_df
+        .withWatermark(ts_col, watermark_delay)
+        .where(F.col(hash_col).isNotNull())
+        .select(F.col(ts_col), _positions_exprs(hash_col, k, nbits))
+        .select(F.col(ts_col), F.col("ip.pos").alias("pos"))
+        .groupBy(F.window(ts_col, window_duration), "pos")
+        .agg(F.count(F.lit(1)).alias("__c"))      # presence; count unused
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"), "pos")
+    )
+
+
+def windowed_bloom_members(
+    cell_rows: DataFrame,
+    probe_items: Sequence[str],
+    nbits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """Batch post-processing of :func:`windowed_bloom_cells` output:
+    ``window_start, item, member`` — Bloom membership (ALL k probe
+    positions set; false positives match the kernel exactly) for each
+    literal probe in each finalized window. Pure JVM broadcast probe
+    join + bool_and aggregation."""
+    from ddsketch_spark.core.hashing import py_positions
+
+    spark = cell_rows.sparkSession
+    probe_rows = []
+    for item in probe_items:
+        for p in py_positions(str(item), k, nbits):
+            probe_rows.append((str(item), int(p)))
+    probes = spark.createDataFrame(probe_rows, "item string, pos int")
+    w = cell_rows.select(F.col("window_start").alias("__ws")).distinct()
+    cells = cell_rows.select(F.col("window_start").alias("__cw"),
+                             F.col("pos").alias("__cp"))
+    grid = w.crossJoin(F.broadcast(probes))
+    joined = grid.join(
+        cells, on=[F.col("__ws") == F.col("__cw"),
+                   F.col("pos") == F.col("__cp")], how="left")
+    return (joined
+            .groupBy(F.col("__ws").alias("window_start"), F.col("item"))
+            .agg(F.bool_and(F.col("__cp").isNotNull()).alias("member")))

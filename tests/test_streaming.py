@@ -714,3 +714,61 @@ def test_windowed_cms_cells_equals_batch(spark, tmp_path):
                                      dtype=np.int64))
         for p, wf in zip(probes, want):
             assert got[(wkey, p)] == int(wf), (wkey, p)
+
+
+def test_windowed_bloom_cells_equals_batch(spark, tmp_path):
+    """Streaming windowed Bloom (bit presence as a built-in watermarked
+    distinct) answers membership identically to a batch Bloom over the
+    same finalized-window rows — including shared-bit false positives."""
+    import time as _time
+
+    import numpy as np
+
+    from ddsketch_spark.core.bloom import Bloom
+    from ddsketch_spark.core.hashing import py_h64
+    from ddsketch_spark.streaming.sketch_stream import (
+        windowed_bloom_cells, windowed_bloom_members,
+    )
+
+    src = str(tmp_path / "bsrc")
+    ckpt = str(tmp_path / "bckpt")
+    out_dir = str(tmp_path / "bout")
+    base = pd.Timestamp("2025-06-01 10:00:00")
+
+    def write_file(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "h"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    w10 = [f"u{i}" for i in range(30)]
+    w11 = [f"u{i}" for i in range(25, 45)]
+    write_file([(base + pd.Timedelta(minutes=i % 50), py_h64(u))
+                for i, u in enumerate(w10)])
+    write_file([(base + pd.Timedelta(minutes=65 + i % 40), py_h64(u))
+                for i, u in enumerate(w11)]
+               + [(base + pd.Timedelta(minutes=200), py_h64("adv"))])
+
+    stream = (spark.readStream.schema("ts timestamp, h long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    # tiny bit array on purpose: cross-item bit sharing (false positives)
+    # must match the kernel exactly
+    cells = windowed_bloom_cells(stream, "ts", "h", "1 hour",
+                                 "30 minutes", nbits=128, k=5)
+    q = (cells.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination()
+
+    probes = ["u0", "u26", "u44", "absent-a", "absent-b"]
+    got = {(r["window_start"], r["item"]): r["member"]
+           for r in windowed_bloom_members(
+               spark.read.parquet(out_dir), probes, 128, 5).collect()}
+    key11 = base + pd.Timedelta(hours=1)
+    for wkey, items in ((base, w10), (key11, w11)):
+        bl = Bloom(128, 5).update(
+            np.array([py_h64(x) for x in items], dtype=np.int64))
+        want = bl.contains(np.array([py_h64(p) for p in probes],
+                                    dtype=np.int64))
+        for p, wm in zip(probes, want):
+            assert got[(wkey, p)] == bool(wm), (wkey, p)
