@@ -24,10 +24,13 @@ ddsketch.c:2402-2648). The shapes:
    hot path at all. :func:`assemble_window_sketches` turns the emitted
    bucket rows into binary sketches per window.
 
-3. :func:`windowed_hll_cells` / :func:`sessionized_bucket_counts` — the
-   same built-in-aggregation trick for windowed distinct counts (HLL
-   register max) and per-key session windows (cells carried inside the
-   aggregation, since sessions merge per grouping key).
+3. :func:`windowed_hll_cells` / :func:`windowed_cms_cells` /
+   :func:`windowed_bloom_cells` / :func:`sessionized_bucket_counts` —
+   the same built-in-aggregation trick for the whole additive-cell
+   family: windowed distinct counts (HLL register max), frequency
+   counters (CMS sums), membership bits (Bloom presence), and per-key
+   session windows (cells carried inside the aggregation, since
+   sessions merge per grouping key).
 
 4. :func:`stateful_quantiles` / :func:`stateful_heavy_hitters` —
    ``applyInPandasWithState`` keeping one serialized sketch (DDSketch /
