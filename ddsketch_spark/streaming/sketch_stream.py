@@ -641,11 +641,13 @@ def windowed_cms_estimates(
     from ddsketch_spark.core.hashing import py_positions
 
     spark = cell_rows.sparkSession
-    probe_rows = []
-    for item in probe_items:
-        for i, p in enumerate(py_positions(str(item), depth, width)):
-            probe_rows.append((str(item), int(i), int(p)))
-    probes = spark.createDataFrame(probe_rows, "item string, i int, pos int")
+    probe_rows = [(str(item), int(i), int(p))
+                  for item in probe_items
+                  for i, p in enumerate(py_positions(str(item), depth, width))]
+    # pandas -> Arrow -> LocalTableScan: the literal probe table stays a
+    # JVM-local relation (a plain list would materialize via a Python RDD)
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["item", "i", "pos"]))
     # window list and counter cells share lineage (a self-join): alias
     # every column on both sides so each projection mints fresh
     # attribute ids and the join condition is name-unambiguous
@@ -710,11 +712,10 @@ def windowed_bloom_members(
     from ddsketch_spark.core.hashing import py_positions
 
     spark = cell_rows.sparkSession
-    probe_rows = []
-    for item in probe_items:
-        for p in py_positions(str(item), k, nbits):
-            probe_rows.append((str(item), int(p)))
-    probes = spark.createDataFrame(probe_rows, "item string, pos int")
+    probe_rows = [(str(item), int(p)) for item in probe_items
+                  for p in py_positions(str(item), k, nbits)]
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["item", "pos"]))
     w = cell_rows.select(F.col("window_start").alias("__ws")).distinct()
     cells = cell_rows.select(F.col("window_start").alias("__cw"),
                              F.col("pos").alias("__cp"))

@@ -349,3 +349,26 @@ def test_decontamination_broadcasts_probe_shingles(spark):
     tree = plan.split("(1) Scan")[0] or plan
     join_seg = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in join_seg, join_seg[-1500:]
+
+
+def test_windowed_estimate_readers_are_pure_jvm(spark):
+    """The batch probe readers over streamed cells (CMS frequencies,
+    Bloom membership) must contain NO Python evaluation nodes — the
+    estimate is a broadcast literal join + aggregation."""
+    from ddsketch_spark.streaming.sketch_stream import (
+        windowed_bloom_members, windowed_cms_estimates)
+
+    cms_cells = spark.createDataFrame(
+        pd.DataFrame({"window_start": [pd.Timestamp("2025-01-01")],
+                      "window_end": [pd.Timestamp("2025-01-01 01:00")],
+                      "i": [0], "pos": [5], "c": [3]}))
+    plan = _plan(windowed_cms_estimates(cms_cells, ["a", "b"], 5, 512))
+    assert "Python" not in plan and "MapInArrow" not in plan, plan[:1500]
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+    bloom_cells = spark.createDataFrame(
+        pd.DataFrame({"window_start": [pd.Timestamp("2025-01-01")],
+                      "window_end": [pd.Timestamp("2025-01-01 01:00")],
+                      "pos": [5]}))
+    bplan = _plan(windowed_bloom_members(bloom_cells, ["a", "b"], 128, 5))
+    assert "Python" not in bplan and "MapInArrow" not in bplan, bplan[:1500]
