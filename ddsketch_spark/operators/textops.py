@@ -516,12 +516,29 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
 
 # ------------------------------------------------------- decontamination
 
+def token_shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                       k: int) -> DataFrame:
+    """``id, sh`` — one row per TOKEN k-gram (space-joined); whole text
+    if shorter than k tokens. Same explode-positions-first shape as the
+    character variant: the token array is built once per row and sliced
+    per position in codegen."""
+    return (df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("__tk"))
+        .select("id", F.explode(F.expr(
+            f"sequence(1, greatest(size(__tk) - {k} + 1, 1))"))
+            .alias("__i"), "__tk")
+        .select("id", F.expr(f"concat_ws(' ', slice(__tk, __i, {k}))")
+                .alias("sh")))
+
+
 def ngram_containment(docs: DataFrame, probes: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       probe_id_col: str = "pid",
                       probe_text_col: str = "text",
                       k: int = SHINGLE_K,
-                      threshold: float = 0.0) -> DataFrame:
+                      threshold: float = 0.0,
+                      unit: str = "char") -> DataFrame:
     """Benchmark decontamination primitive: ``doc_id, pid, containment``
     where containment = |distinct k-shingles of probe present in doc| /
     |distinct k-shingles of probe| — the standard n-gram-overlap test for
@@ -534,9 +551,14 @@ def ngram_containment(docs: DataFrame, probes: DataFrame,
     map stage); only MATCHED (doc, probe, shingle) rows reach the
     count-distinct shuffle, which for real contamination rates is
     vanishingly small next to the scan. ``threshold`` filters the output
-    to suspect pairs (containment >= threshold)."""
-    dsh = shingle_rows(docs, id_col, text_col, k)
-    psh = (shingle_rows(probes, probe_id_col, probe_text_col, k)
+    to suspect pairs (containment >= threshold). ``unit='token'`` uses
+    space-token k-grams (the conventional published decontamination
+    setting, e.g. 8-13 token overlap) instead of character shingles."""
+    if unit not in ("char", "token"):
+        raise ValueError("unit must be 'char' or 'token'")
+    mk = shingle_rows if unit == "char" else token_shingle_rows
+    dsh = mk(docs, id_col, text_col, k)
+    psh = (mk(probes, probe_id_col, probe_text_col, k)
            .distinct().withColumnRenamed("id", "pid"))
     psz = psh.groupBy("pid").agg(F.count(F.lit(1)).alias("__sz"))
     inter = (dsh.join(F.broadcast(psh), on="sh")

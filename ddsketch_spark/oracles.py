@@ -1107,20 +1107,32 @@ FROM frame_f0
 
 def ngram_containment_sql(probe_pred: str, threshold: float,
                           table: str = "documents", id_col: str = "doc_id",
-                          text_col: str = "text") -> str:
+                          text_col: str = "text", unit: str = "char",
+                          k: int | None = None) -> str:
     """Rows ``doc_id, pid, containment`` — mirror of
     textops.ngram_containment: fraction of the probe's DISTINCT
     k-shingles present in each document, thresholded. Probes are the
-    table rows matching ``probe_pred``."""
-    k = SHINGLE_K
+    table rows matching ``probe_pred``. ``unit='token'`` mirrors the
+    space-token k-gram variant."""
+    if k is None:
+        k = SHINGLE_K
+    if unit == "char":
+        sh_expr = f"substr(t, CAST(i AS INTEGER), {k})"
+        n_expr = f"length({text_col})"
+        t_expr = text_col
+    else:
+        sh_expr = (f"array_to_string(list_slice(t, CAST(i AS INTEGER),"
+                   f" CAST(i AS INTEGER) + {k} - 1), ' ')")
+        n_expr = f"len(string_split({text_col}, ' '))"
+        t_expr = f"string_split({text_col}, ' ')"
     return f"""
 WITH dpos AS (
-  SELECT {id_col} AS id, {text_col} AS t,
-         unnest(range(1, greatest(length({text_col}) - {k} + 1, 1) + 1)) AS i
+  SELECT {id_col} AS id, {t_expr} AS t,
+         unnest(range(1, greatest({n_expr} - {k} + 1, 1) + 1)) AS i
   FROM {table}
 ),
 dsh AS (
-  SELECT DISTINCT id, substr(t, CAST(i AS INTEGER), {k}) AS sh FROM dpos
+  SELECT DISTINCT id, {sh_expr} AS sh FROM dpos
 ),
 psh AS (
   SELECT DISTINCT id AS pid, sh FROM dsh

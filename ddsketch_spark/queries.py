@@ -1114,6 +1114,26 @@ def decontaminate_docs(spark, sf_dir):
     return ngram_containment(docs, probes, threshold=DECON_THRESHOLD)
 
 
+DECON_TOKEN_K = 5
+DECON_TOKEN_MOD = 103
+
+
+def decontaminate_docs_tokens(spark, sf_dir):
+    """doc_id, pid, containment — the conventional TOKEN n-gram variant
+    of benchmark decontamination (published pipelines test 8-13-token
+    overlap; k=5 here so the synthetic docs actually collide): fraction
+    of the probe's distinct 5-token-grams contained in each document,
+    same broadcast shape as the character variant. The oracle replays
+    token slicing + distinct containment in SQL."""
+    from ddsketch_spark.operators.textops import ngram_containment
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = (docs.where(F.col("doc_id") % DECON_TOKEN_MOD == 0)
+              .select(F.col("doc_id").alias("pid"), "text"))
+    return ngram_containment(docs, probes, k=DECON_TOKEN_K,
+                             threshold=DECON_THRESHOLD, unit="token")
+
+
 ANN_N_QUERIES = 10
 ANN_K = 5
 ANN_IVF_CELLS = 8
@@ -1578,18 +1598,18 @@ def ann_ivf_cosine_topk(spark, sf_dir):
 
 # Catalog order is a DRIVER CONTRACT: the correctness driver checks the
 # FIRST 50 entries; tools/verify_contract.py still checks ALL entries at
-# three SFs. ROTATION POLICY (r4 verdict item 2): the catalog (72 rows)
+# three SFs. ROTATION POLICY (r4 verdict item 2): the catalog (73 rows)
 # exceeds the 50-row cap, so each round the tail is restocked with rows
 # that got a driver row LAST round — no row may sit in the tail two
 # consecutive rounds. This round (r5): the 10 rows that were tail in r4
-# are back in the top 50, joined by the 12 NEW rows
+# are back in the top 50, joined by the 13 NEW rows
 # (tokens_topk_sketched_by_lang, stream_sliding_p90_events,
 # stream_heavy_hitters_events, stream_sessionized_p90_clicks,
 # stream_windowed_hll_users, dd_rollup_daily_p90_events,
 # dd_range_p95_from_hourly, dd_tiered_range_p90_events,
 # kll_precombine_rank_bound_price, decontaminate_docs,
-# stream_windowed_cms_events, stream_windowed_bloom_users); the
-# 22-row tail
+# stream_windowed_cms_events, stream_windowed_bloom_users,
+# decontaminate_docs_tokens); the 23-row tail
 # (all driver-checked green in r4) absorbs the overflow. NEXT round
 # (r6): swap the current tail back into the top 50 — every tail row will
 # then have sat out exactly one round.
@@ -1643,13 +1663,14 @@ QUERIES: dict[str, Callable] = {
     "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_cosine_pairs_lsh": dedup_cosine_pairs_lsh,
     "decontaminate_docs": decontaminate_docs,
+    "decontaminate_docs_tokens": decontaminate_docs_tokens,
     "sample_docs_deterministic": sample_docs_deterministic,
     "sample_docs_stratified": sample_docs_stratified,
-    "text_profile_docs": text_profile_docs,
     "tokens_topk_sketched_by_lang": tokens_topk_sketched_by_lang,
-    # --- driver-cap overflow tail (51-72): all 22 were driver-checked
+    # --- driver-cap overflow tail (51-73): all 23 were driver-checked
     # --- green in r4 (CORRECTNESS_r04.json); rotate back into the top
     # --- 50 in r6 so no row goes two consecutive rounds unchecked ---
+    "text_profile_docs": text_profile_docs,
     "tokens_topk_sketched": tokens_topk_sketched,
     "tokens_top10": tokens_top10,
     "tokens_top5_by_lang": tokens_top5_by_lang,
@@ -1877,6 +1898,9 @@ ORACLES: dict[str, str] = {
     "dedup_cosine_pairs_lsh": oracles.cosine_dup_lsh_sql(COS_DUP_THRESHOLD),
     "decontaminate_docs": oracles.ngram_containment_sql(
         f"doc_id % {DECON_PROBE_MOD} = 0", DECON_THRESHOLD),
+    "decontaminate_docs_tokens": oracles.ngram_containment_sql(
+        f"doc_id % {DECON_TOKEN_MOD} = 0", DECON_THRESHOLD,
+        unit="token", k=DECON_TOKEN_K),
     "sample_docs_deterministic": (
         "SELECT doc_id, " + oracles.duckdb_h64_pub("text") + " AS fp "
         "FROM documents WHERE " + oracles.duckdb_h64_pub("text")
