@@ -164,12 +164,13 @@ def main() -> None:
                                  "per-pair 0.649-0.708"},
             "peak_docs_per_sec": 9228130,
             # reference-methodology (cached numeric table, agg only):
-            # 24.8M docs/s at local[4], 54.2M at local[16] — vs the
+            # 25.5M docs/s at local[4], 49.2M at local[16] — vs the
             # reference's 11.2M rows/s at 4 workers (cached PG table);
-            # r4 re-measurement (r2: 19.7/38.3M, r3: 22.5/41.7M)
-            "cached_table_docs_per_sec": {"local4": 24812338,
-                                          "local16": 54196908,
-                                          "local32": 30783481},
+            # r5 re-measurement (r2: 19.7/38.3M, r3: 22.5/41.7M,
+            # r4: 24.8/54.2M)
+            "cached_table_docs_per_sec": {"local4": 25508155,
+                                          "local16": 49207599,
+                                          "local32": 47697789},
         },
         # hot-key merge strategies (tools/skew_bench.py, 512 heavy partials
         # on one key): map-side combine 2.0-2.6x over single-round merge
