@@ -519,3 +519,40 @@ def test_stratified_hash_sample_preserves_caller_rk_column(spark):
     assert len(rows) == 4                      # quota 2 per lang
     assert "__rk" in out.columns
     assert all(r["__rk"] == 100 + r["doc_id"] for r in rows)
+
+
+def test_token_shingles_and_containment_units(spark):
+    """Token k-grams: whole text when shorter than k tokens; containment
+    flags the planted superset doc in token mode and both modes agree on
+    exact self-containment."""
+    import pandas as pd
+
+    from ddsketch_spark.operators.textops import (
+        ngram_containment, token_shingle_rows)
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "prefix words alpha beta gamma delta epsilon zeta suffix",
+                 "unrelated content entirely different words here",
+                 "short"],
+    })
+    df = spark.createDataFrame(pdf)
+    sh = {(r["id"], r["sh"])
+          for r in token_shingle_rows(df, "doc_id", "text", 3).collect()}
+    assert (4, "short") in sh                      # shorter than k -> whole
+    assert (1, "alpha beta gamma") in sh
+    assert (1, "delta epsilon zeta") in sh
+    assert len([x for x in sh if x[0] == 1]) == 4  # 6 tokens -> 4 trigrams
+
+    probes = (df.where(F.col("doc_id") == 1)
+              .select(F.col("doc_id").alias("pid"), "text"))
+    got = {(r["doc_id"], r["pid"]): r["containment"]
+           for r in ngram_containment(df, probes, k=3, threshold=0.5,
+                                      unit="token").collect()}
+    assert got[(1, 1)] == 1.0           # self
+    assert got[(2, 1)] == 1.0           # superset doc contains all probe 3-grams
+    assert (3, 1) not in got and (4, 1) not in got
+
+    with pytest.raises(ValueError, match="unit"):
+        ngram_containment(df, probes, unit="byte")
