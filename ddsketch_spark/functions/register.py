@@ -91,8 +91,34 @@ def register_sql_functions(spark: SparkSession) -> None:
         return t.map(lambda x: DDSketch.from_string(x).to_bytes()
                      if x is not None else None)
 
+    from pyspark.sql.types import StructField, StructType
+
+    _bounds_t = StructType([StructField("lo", DoubleType(), True),
+                            StructField("est", DoubleType(), True),
+                            StructField("hi", DoubleType(), True)])
+
+    @F.pandas_udf(_bounds_t)
+    def ddsketch_percentile_bounds(s: pd.Series, q: pd.Series) -> pd.DataFrame:
+        los, ests, his = [], [], []
+        for b, qq in zip(s, q):
+            if b is None or qq is None:
+                los.append(None); ests.append(None); his.append(None)
+                continue
+            sk = DDSketch.from_bytes(bytes(b))
+            e = float(sk.quantile(float(qq)))
+            a = sk.alpha
+            if e > 0:
+                lo, hi = e / (1.0 + a), e / (1.0 - a)
+            elif e < 0:
+                lo, hi = e / (1.0 - a), e / (1.0 + a)
+            else:
+                lo = hi = 0.0
+            los.append(lo); ests.append(e); his.append(hi)
+        return pd.DataFrame({"lo": los, "est": ests, "hi": his})
+
     for name, fn in [
         ("ddsketch_percentile", ddsketch_percentile),
+        ("ddsketch_percentile_bounds", ddsketch_percentile_bounds),
         ("ddsketch_percentile_of", ddsketch_percentile_of),
         ("ddsketch_count", ddsketch_count),
         ("ddsketch_sketch_sum", ddsketch_sketch_sum),

@@ -225,3 +225,42 @@ def sketch_add_array(col, values_col,
             out.append(sk.to_bytes() if sk.count > 0 else None)
         return pd.Series(out, dtype=object)
     return _aa(col, vcol)
+
+
+def sketch_quantile_bounds(col, q) -> Column:
+    """Quantile estimate with its GUARANTEED error envelope: for each
+    requested q, a struct ``(lo, est, hi)`` where the true q-quantile v
+    satisfies ``lo <= v <= hi`` whenever v's bucket survived un-collapsed
+    — DDSketch's accuracy contract ``|est - v| <= alpha * |v|`` inverted
+    to ``v in [est/(1+alpha), est/(1-alpha)]`` (signs flipped for
+    negative estimates; exact zero has zero width). The alpha used is
+    the SKETCH'S OWN current alpha (after any UDDSketch collapses), so
+    the envelope stays honest for collapse-mode sketches."""
+    from pyspark.sql.types import StructType
+
+    qs = [float(q)] if np.isscalar(q) else [float(x) for x in q]
+    field = StructType([
+        StructField("lo", DoubleType(), True),
+        StructField("est", DoubleType(), True),
+        StructField("hi", DoubleType(), True),
+    ])
+
+    def bounds(b):
+        s = DDSketch.from_bytes(bytes(b))
+        a = s.alpha
+        out = []
+        for e in s.quantile(qs):
+            e = float(e)
+            if e > 0:
+                lo, hi = e / (1.0 + a), e / (1.0 - a)
+            elif e < 0:
+                lo, hi = e / (1.0 - a), e / (1.0 + a)
+            else:
+                lo = hi = 0.0
+            out.append({"lo": lo, "est": e, "hi": hi})
+        return out
+
+    @F.pandas_udf(ArrayType(field))
+    def _qb(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: bounds(b) if b is not None else None)
+    return _qb(col)

@@ -502,3 +502,33 @@ def test_precombine_weighted_and_kll_bounds(spark):
         est = float(s.quantile([q])[0])
         true_rank = np.searchsorted(vals, est, side="right") / len(vals)
         assert abs(true_rank - q) < 0.05
+
+
+def test_sketch_quantile_bounds_envelope(spark):
+    """(lo, est, hi) must bracket the exact lower-quantile for every q,
+    with lo <= est <= hi, and the envelope must widen to the sketch's
+    CURRENT alpha after collapse-mode resolution loss."""
+    from ddsketch_spark.functions.sketch_udfs import sketch_quantile_bounds
+
+    rng = np.random.default_rng(21)
+    vals = np.exp(rng.standard_normal(40_000)) * 100
+    pdf = pd.DataFrame({"v": vals})
+    df = spark.createDataFrame(pdf)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    built = sketch_agg(df, "v", factory=lambda: DDSketch(0.01, 2048))
+    row = built.select(
+        sketch_quantile_bounds(F.col("sketch"), qs).alias("b")).collect()[0]
+    exact = np.quantile(vals, qs, method="lower")
+    for b, ex in zip(row["b"], exact):
+        assert b["lo"] <= b["est"] <= b["hi"]
+        assert b["lo"] <= ex <= b["hi"]
+        # envelope width matches alpha=0.01 (not wider than ~2.1%)
+        assert (b["hi"] - b["lo"]) / b["est"] < 0.0201
+
+    # collapse mode: tiny budget -> coarser alpha -> wider honest bounds
+    cb = sketch_agg(df, "v", factory=lambda: DDSketch(0.01, 16, "collapse"))
+    crow = cb.select(
+        sketch_quantile_bounds(F.col("sketch"), qs).alias("b")).collect()[0]
+    for b, ex in zip(crow["b"], exact):
+        assert b["lo"] <= ex <= b["hi"]
+        assert (b["hi"] - b["lo"]) / b["est"] > 0.0201   # wider than fine alpha
