@@ -176,8 +176,8 @@ def main() -> None:
         # on one key): map-side combine 2.0-2.6x over single-round merge
         # (r4 re-measurement after the premerge refactor; r1 2.02x,
         # r2 2.3x, r3 2.55x)
-        "skew_merge": {"single_round_sec": 2.362, "salted_fanout_sec": 1.362,
-                       "map_combine_sec": 0.91, "speedup": 2.6},
+        "skew_merge": {"single_round_sec": 3.43, "salted_fanout_sec": 1.654,
+                       "map_combine_sec": 1.564, "speedup": 2.19},
         # Arrow-pipeline sketches priced vs the JVM-native stage 1
         # (tools/sketch_stage1_bench.py, 64M docs, local[16],
         # interleaved best-of-3 — r5 measurement; table in
