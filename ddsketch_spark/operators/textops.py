@@ -144,7 +144,8 @@ def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      bands: DataFrame | None = None) -> DataFrame:
     """``a, b, bands_shared`` — candidate near-duplicate pairs sharing at
     least one LSH band (a < b).
 
@@ -158,12 +159,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     bucket is m*(m-1)/2 either way; the join materializes the same blow-up
     as join output, so the list form is not asymptotically worse.
 
+    ``bands``: optionally a precomputed ``(id_col, band, bsig)`` relation
+    — callers that can derive the band rows more cheaply than a full
+    signature pass (e.g. a corpus whose rows are known copies of a
+    smaller table, where the band rows are the small table's with ids
+    remapped) supply it here and ``df``/``text_col`` are ignored.
+
     At 100 TB, run exact-dedup first (removes identical texts — the bulk
     of any boilerplate bucket) AND set ``max_bucket_size`` (see
     :func:`_cap_buckets`): a bucket the cap skips is one whose members are
     near-identical boilerplate — pairing them adds no signal, only a
     quadratic array on one executor. SCALE.md discusses choosing the cap."""
-    bands = lsh_bands(minhash_signatures(df, id_col, text_col), id_col)
+    if bands is None:
+        bands = lsh_bands(minhash_signatures(df, id_col, text_col), id_col)
     buckets = (bands.groupBy("band", "bsig")
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
                .where(F.size("ids") > 1))

@@ -8,6 +8,7 @@ bit-for-bit. Column aliases match on both sides by construction.
 from __future__ import annotations
 
 import datetime as dt
+import functools
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1087,9 +1088,9 @@ from ddsketch_spark.operators.similarity import (  # noqa: E402
 )
 from ddsketch_spark.operators.textops import (  # noqa: E402
     bpe_token_count_col, exact_dedup, fingerprint_col, langid_col,
-    minhash_lsh_pairs, ngram_jaccard_pairs, quality_score_col,
-    hash_sample, rolling_fingerprint_col, simhash, simhash_dup_pairs,
-    token_count_col,
+    lsh_bands, minhash_lsh_pairs, minhash_signatures, ngram_jaccard_pairs,
+    quality_score_col, hash_sample, rolling_fingerprint_col, simhash,
+    simhash_dup_pairs, token_count_col,
 )
 
 MIRROR_OFFSET = 1_000_000
@@ -1165,14 +1166,33 @@ def dedup_exact_docs(spark, sf_dir):
     return exact_dedup(mirrored_docs(spark, sf_dir), "id", "t")
 
 
+def _mirrored_minhash_bands(spark, sf_dir):
+    """LSH band rows for the MIRRORED corpus, computed from ONE signature
+    pass over the unmirrored table: a mirror copy has identical text,
+    hence bit-identical minhash signature and band rows, so the mirrored
+    bands relation is the original's with the id exploded to
+    {id, id + MIRROR_OFFSET}. Halves the shingle-explode + md5 + 16-way
+    min aggregation (the dominant compute of the dedup pipeline) and
+    replaces the second scan+union with one Generate (guide §1.2: the
+    cheapest pass is the one you can prove you don't need)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("t")))
+    bands = lsh_bands(minhash_signatures(d, "id", "t"), "id")
+    return bands.select(
+        F.explode(F.array(F.col("id"), F.col("id") + MIRROR_OFFSET))
+        .alias("id"), "band", "bsig")
+
+
 def dedup_minhash_pairs(spark, sf_dir):
-    return minhash_lsh_pairs(mirrored_docs(spark, sf_dir), "id", "t")
+    return minhash_lsh_pairs(None, "id", "t",
+                             bands=_mirrored_minhash_bands(spark, sf_dir))
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    docs = mirrored_docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "id", "t").select("a", "b")
-    return ngram_jaccard_pairs(docs, pairs, "id", "t")
+    pairs = (minhash_lsh_pairs(None, "id", "t",
+                               bands=_mirrored_minhash_bands(spark, sf_dir))
+             .select("a", "b"))
+    return ngram_jaccard_pairs(mirrored_docs(spark, sf_dir), pairs, "id", "t")
 
 
 def dedup_clusters(spark, sf_dir):
@@ -1182,7 +1202,8 @@ def dedup_clusters(spark, sf_dir):
     after pair generation; Spark side is iterative min-label propagation,
     the oracle a recursive CTE over the identical graph."""
     from ddsketch_spark.operators.textops import connected_components
-    pairs = minhash_lsh_pairs(mirrored_docs(spark, sf_dir), "id", "t")
+    pairs = minhash_lsh_pairs(None, "id", "t",
+                              bands=_mirrored_minhash_bands(spark, sf_dir))
     return connected_components(pairs).select("id", "comp")
 
 
@@ -1695,6 +1716,21 @@ QUERIES: dict[str, Callable] = {
     "kll_weighted_rank_bound_price": kll_weighted_rank_bound_price,
     "dedup_cosine_pairs": dedup_cosine_pairs,
 }
+
+
+def _with_fast_collect(fn: Callable) -> Callable:
+    """Hand callers a frame whose collect() crosses the JVM boundary in
+    Arrow batches when the schema allows (plans/fastcollect.py): results
+    are value- and order-identical, only the transfer is columnar."""
+    from ddsketch_spark.plans.fastcollect import fast_collect
+
+    @functools.wraps(fn)
+    def run(spark, sf_dir):
+        return fast_collect(fn(spark, sf_dir))
+    return run
+
+
+QUERIES = {name: _with_fast_collect(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
     "dd_quantiles_price_global": oracles.percentile_sql(

@@ -72,6 +72,28 @@ def test_minhash_finds_exact_dups(spark):
     assert pairs.get((1, 101)) == 4
 
 
+def test_minhash_precomputed_bands_equal_direct(spark):
+    """The bands= shortcut (dedup_minhash_pairs computes signatures on the
+    unmirrored table and explodes ids, since a text copy has an identical
+    signature) must produce exactly the direct pipeline's pairs."""
+    from pyspark.sql import functions as F
+
+    from ddsketch_spark.operators.textops import lsh_bands, minhash_signatures
+
+    base = ["a b c d " * 25 + f"doc{i}" for i in range(15)]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(15), "text": base}))
+    offset = 1000
+    mirrored = df.unionAll(df.select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text"))
+    direct = sorted(map(tuple, minhash_lsh_pairs(mirrored).collect()))
+    bands = lsh_bands(minhash_signatures(df), "doc_id").select(
+        F.explode(F.array(F.col("doc_id"), F.col("doc_id") + offset))
+        .alias("doc_id"), "band", "bsig")
+    shortcut = sorted(map(tuple, minhash_lsh_pairs(None, bands=bands).collect()))
+    assert direct == shortcut and len(direct) > 0
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(pd.DataFrame({
         "doc_id": [1, 2, 3],
