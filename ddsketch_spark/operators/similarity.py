@@ -298,8 +298,44 @@ def _cell_structs_sql(codebook) -> str:
 def ivf_assign(df: DataFrame, codebook, id_col: str = "vec_id",
                emb_col: str = "embedding") -> DataFrame:
     """``id, cell, qv, n2`` — nearest-cell assignment (argmax cosine, ties
-    to the lowest cell index), computed as a per-row JVM expression over
-    the literal codebook: the corpus is scanned once and never shuffled."""
+    to the lowest cell index). Computed as ONE vectorized Arrow batch
+    matmul against the codebook matrix (the ann_buckets pattern): the
+    struct-array JVM expression (:func:`ivf_assign_expr`) evaluates
+    n_cells interpreted ``aggregate(zip_with(...))`` lambdas per corpus
+    row — measured 1.7 s for 20k x 8 cells at local[32], vs milliseconds
+    for the batch matmul. Bit-identical: exact int64 dots (< 2^52, so the
+    float64 cast is lossless), the same two IEEE ops per cosine
+    (``dot / (sqrt(n2) * sqrt(seed_n2))``), and numpy argmax's
+    first-max-wins tie == (max cos, lowest cell) struct ordering.
+    One deliberate divergence: a zero-norm corpus row (all cosines NaN)
+    is assigned to cell 0 here, where the expression form raises
+    DIVIDE_BY_ZERO under ANSI — strictly more tolerant, never different
+    on defined inputs. The corpus is scanned once and never shuffled
+    either way; parity is pinned per-row by tests/test_textops.py."""
+    seeds = np.array([qs for _, qs, _ in codebook], dtype=np.int64)
+    seed_n2 = np.sqrt(np.array([ns for _, _, ns in codebook],
+                               dtype=np.float64))
+
+    @F.pandas_udf(LongType())
+    def assign_udf(qv: pd.Series, n2: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.int64) for v in qv])
+        dots = (m @ seeds.T).astype(np.float64)
+        denom = np.sqrt(n2.to_numpy(dtype=np.float64))[:, None] * seed_n2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / denom
+        return pd.Series(np.argmax(cos, axis=1).astype(np.int64))
+
+    q = with_quantized(df, emb_col).select(F.col(id_col).alias("id"),
+                                           "qv", "n2")
+    return q.select("id", assign_udf("qv", "n2").alias("cell"), "qv", "n2")
+
+
+def ivf_assign_expr(df: DataFrame, codebook, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> DataFrame:
+    """The pure-JVM-expression form of :func:`ivf_assign` (literal
+    codebook struct array + array_max) — kept as the parity reference."""
     q = with_quantized(df, emb_col).select(F.col(id_col).alias("id"),
                                            "qv", "n2")
     best = F.expr(f"array_max({_cell_structs_sql(codebook)})")

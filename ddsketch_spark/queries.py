@@ -75,6 +75,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _collect_concurrently(*dfs: DataFrame) -> list:
+    """collect() several INDEPENDENT frames with overlapping jobs: Spark's
+    scheduler runs concurrently-submitted jobs at once (FIFO — the later
+    job back-fills executors freed by the earlier job's straggler tail,
+    guide §2.6). Results are per-job identical to sequential collects;
+    only the wall-clock overlap changes. Used by queries whose
+    verification pass is independent of their sketch pass."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        futures = [pool.submit(df.collect) for df in dfs]
+        return [f.result() for f in futures]
+
+
 def quantile_rows(df: DataFrame, value_col: str, alpha: float, nbuckets: int,
                   qs, keys=(), weight_col=None) -> DataFrame:
     """keys..., q, est — one row per key per quantile."""
@@ -1393,13 +1407,18 @@ def tokens_topk_sketched(spark, sf_dir):
     fan = auto_merge_fanout(toks.rdd.getNumPartitions())
     if fan:
         parts_df = premerge_partials(parts_df, fan, ss_from_bytes)
+    truth_df = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("token").asc())
+                .limit(TOPK_TOKENS))
+    # the sketch job and the verification job share no state until the
+    # final zip — submit both and let the scheduler back-fill the tail
+    # of one with the other's tasks (guide §2.6; measured 2.15 -> 1.76 s
+    # at sf1.0). Each job's own result is unchanged.
+    parts, truth = _collect_concurrently(parts_df, truth_df)
     acc = None
-    for r in parts_df.collect():
+    for r in parts:
         s = ss_from_bytes(bytes(r["sketch"]))
         acc = s if acc is None else acc.merge(s)
-    truth = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-             .orderBy(F.col("cnt").desc(), F.col("token").asc())
-             .limit(TOPK_TOKENS).collect())
     rows = []
     for rk, r in enumerate(truth, 1):
         e = acc.get(r["token"]) if acc is not None else None
@@ -1430,16 +1449,19 @@ def tokens_topk_sketched_by_lang(spark, sf_dir):
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select("lang",
                     F.explode(F.split(F.col("text"), " ")).alias("token"))
-    rows = sketch_agg(toks, "token", keys=["lang"],
-                      factory=lambda: SpaceSaving(TOPK_SS_CAPACITY),
-                      from_bytes=ss_from_bytes).collect()
-    sketches = {r["lang"]: ss_from_bytes(bytes(r["sketch"])) for r in rows}
+    sk_df = sketch_agg(toks, "token", keys=["lang"],
+                       factory=lambda: SpaceSaving(TOPK_SS_CAPACITY),
+                       from_bytes=ss_from_bytes)
     w = Window.partitionBy("lang").orderBy(
         F.col("cnt").desc(), F.col("token").asc())
-    truth = (toks.groupBy("lang", "token")
-             .agg(F.count(F.lit(1)).alias("cnt"))
-             .withColumn("rk", F.row_number().over(w).cast("long"))
-             .where(F.col("rk") <= TOPK_BY_LANG).collect())
+    truth_df = (toks.groupBy("lang", "token")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("rk", F.row_number().over(w).cast("long"))
+                .where(F.col("rk") <= TOPK_BY_LANG))
+    # independent sketch + verification jobs overlapped (guide §2.6,
+    # see tokens_topk_sketched)
+    rows, truth = _collect_concurrently(sk_df, truth_df)
+    sketches = {r["lang"]: ss_from_bytes(bytes(r["sketch"])) for r in rows}
     out = []
     for r in truth:
         s = sketches.get(r["lang"])

@@ -94,6 +94,46 @@ def test_minhash_precomputed_bands_equal_direct(spark):
     assert direct == shortcut and len(direct) > 0
 
 
+def test_rolling_fingerprint_numpy_matches_sql(spark):
+    """The vectorized Arrow rfp must equal the SQL-mirrorable per-char
+    definition (what the DuckDB oracle replays) on edge inputs: empty,
+    single char, non-ascii codepoints, whitespace runs, max-length."""
+    from ddsketch_spark.operators.textops import (
+        rolling_fingerprint_col, rolling_fingerprint_sql_col)
+
+    texts = ["", "a", "z" * 600, "hello world " * 40, " \t  spaced",
+             "café touché 你好", "0123456789" * 30]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    got = {r["doc_id"]: r["rfp"]
+           for r in rolling_fingerprint_col(df).collect()}
+    want = {r["doc_id"]: r["rfp"]
+            for r in df.select("doc_id",
+                               rolling_fingerprint_sql_col("text")
+                               .alias("rfp")).collect()}
+    assert got == want
+
+
+def test_quality_translate_matches_regexp(spark):
+    """quality_score_col's translate-based class counts must equal the
+    regex form for arbitrary text (incl. non-ascii and digits)."""
+    from pyspark.sql import functions as F
+
+    texts = ["", "abc 123 xyz", "NO lower?  44", "café 9 lives",
+             "a" * 300, "!@# $%^ &*()"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    rows = df.select(
+        (F.length("text") - F.length(F.translate(
+            F.col("text"), "abcdefghijklmnopqrstuvwxyz", ""))).alias("ta"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("ra"),
+        (F.length("text") - F.length(F.translate(
+            F.col("text"), "0123456789", ""))).alias("td"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("rd"),
+    ).collect()
+    for r in rows:
+        assert r["ta"] == r["ra"] and r["td"] == r["rd"]
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(pd.DataFrame({
         "doc_id": [1, 2, 3],
@@ -146,6 +186,33 @@ def test_ann_lsh_results_are_subset_of_ranked_neighbors(spark):
         lsh_neighbors = list(grp.sort_values("rank")["neighbor_id"])
         bf_ranks = [int(ranks[n]) for n in lsh_neighbors]
         assert bf_ranks == sorted(bf_ranks), qid
+
+
+def test_ivf_assign_batch_matches_jvm_expr(spark):
+    """The vectorized Arrow assignment must agree per-row with the
+    literal-codebook JVM struct expression; a zero-norm row (which the
+    expression form cannot evaluate — ANSI DIVIDE_BY_ZERO) lands in
+    cell 0 on the batch path."""
+    from ddsketch_spark.operators.similarity import (
+        ivf_assign, ivf_assign_expr, ivf_codebook)
+
+    rng = np.random.default_rng(7)
+    emb = pd.DataFrame({
+        "vec_id": range(300),
+        "embedding": [rng.normal(0, 0.3, 64).astype(np.float32).tolist()
+                      for _ in range(300)],
+    })
+    df = spark.createDataFrame(emb)
+    cb = ivf_codebook(df, 8)
+    got = ivf_assign(df, cb).select("id", "cell").toPandas() \
+        .set_index("id")["cell"].to_dict()
+    want = ivf_assign_expr(df, cb).select("id", "cell").toPandas() \
+        .set_index("id")["cell"].to_dict()
+    assert got == want and len(set(got.values())) > 1
+
+    zdf = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0], "embedding": [[0.0] * 64]}))
+    assert ivf_assign(zdf, cb).collect()[0]["cell"] == 0
 
 
 def test_ann_ivf_covers_probed_cells_and_recalls(spark):
