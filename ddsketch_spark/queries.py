@@ -1331,7 +1331,12 @@ def multimodal_feature_stats(spark, sf_dir):
         extract_features, synthesize_media_arith,
     )
     media = synthesize_media_arith(spark, N_MEDIA, seed=MEDIA_SEED)
-    feats = extract_features(media)
+    # both join branches (quantile + integer-sum agg) consume the decoded
+    # features; localCheckpoint materializes the synthesize+decode Python
+    # pipeline ONCE per invocation instead of once per branch (Spark does
+    # not share subplans across join inputs; measured 1.87 -> 1.55 s at
+    # sf1.0 — N_MEDIA rows of features are a few kB)
+    feats = extract_features(media).localCheckpoint(eager=True)
     agg = feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum(F.floor(F.element_at(F.col("feature"), 1) * F.lit(1000000.0))

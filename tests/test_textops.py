@@ -188,6 +188,29 @@ def test_ann_lsh_results_are_subset_of_ranked_neighbors(spark):
         assert bf_ranks == sorted(bf_ranks), qid
 
 
+def test_cosine_topk_batch_matches_jvm_expr(spark):
+    """The partial-top-k Arrow implementation of cosine_topk must equal
+    the broadcast-crossJoin + full-window JVM reference on data with
+    exact duplicates (cos ties) and odd dims."""
+    from ddsketch_spark.operators.similarity import (
+        cosine_topk, cosine_topk_expr)
+
+    rng = np.random.default_rng(23)
+    base = [rng.normal(0, 0.5, 16).astype(np.float32).tolist()
+            for _ in range(60)]
+    emb = pd.DataFrame({
+        "vec_id": range(70),
+        "embedding": base + base[:10],      # duplicate vectors => ties
+    })
+    df = spark.createDataFrame(emb).repartition(7)
+    qs = df.where(F.col("vec_id") < 4)
+    got = cosine_topk(df, qs, 6).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = cosine_topk_expr(df, qs, 6).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_ivf_assign_batch_matches_jvm_expr(spark):
     """The vectorized Arrow assignment must agree per-row with the
     literal-codebook JVM struct expression; a zero-norm row (which the
