@@ -387,6 +387,13 @@ def _rfp_np(texts: "pd.Series") -> "pd.Series":
     return pd.Series(out, dtype="object" if None in out else "int64")
 
 
+def rfp_col(text_col: str) -> Column:
+    """Column form of the rolling fingerprint (the vectorized ``_rfp_np``
+    batch) — composes into a single projection with the other profile
+    columns, so no join is needed to attach it."""
+    return _rfp_np(F.col(text_col))
+
+
 def rolling_fingerprint_col(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
     """``id, rfp`` — position-sensitive document fingerprint:

@@ -74,7 +74,12 @@ def test_filter_pushdown_reaches_scan(spark, pages_path):
     assert re.search(r"PushedFilters: \[.*(IsNotNull|EqualTo)\(lang", plan), plan
 
 
-def test_ann_broadcasts_query_side(spark):
+def test_ann_corpus_never_joined_or_shuffled(spark):
+    """Brute-force top-k scores the corpus in ONE MapInPandas pass (the
+    query matrix rides in the task closure — r6: replaced the broadcast
+    crossJoin + full-corpus window); the corpus is neither joined nor
+    exchanged, and the only shuffle input is the per-partition candidate
+    rows feeding the final window."""
     rng = np.random.default_rng(3)
     emb = pd.DataFrame({
         "vec_id": range(300),
@@ -84,7 +89,13 @@ def test_ann_broadcasts_query_side(spark):
     df = spark.createDataFrame(emb)
     out = cosine_topk(df, df.where(F.col("vec_id") < 3), 5)
     plan = _plan(out)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    tree = plan.split("\n\n(")[0]          # tree section, before details
+    assert tree.count("MapInPandas") == 1, tree
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                 "SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in plan, plan
+    # exactly the window's exchange remains above the scorer
+    assert plan.split("MapInPandas")[0].count("Exchange") <= 1, plan
 
 
 def test_cosine_dup_default_path_not_quadratic(spark):
