@@ -261,6 +261,28 @@ def _grouped(buckets: DataFrame, keys: Sequence[str], assemble, schema):
         assemble, schema=schema)
 
 
+def _hll_register_rows(df: DataFrame, hash_col: str, keys: list,
+                       m: int, Q: int) -> DataFrame:
+    """``keys..., __j, __rho`` — one register observation per non-null
+    hash: ``j = h % m``, ``rho = Q - bit_length(h div m)`` (h div m == 0
+    -> Q). bit_length is computed as popcount of the bit-SMEARED value
+    (x |= x>>1 ... x>>32 sets every bit below the MSB, so bit_count ==
+    bit_length) in six staged integer columns — the previous
+    ``length(bin(x))`` allocated a base-2 String per row on the scan's
+    hot path (identical integers, measured ~9% on hll_ndv_orderkeys at
+    sf1.0; stages keep the expression linear so codegen never sees an
+    exponential tree)."""
+    h = F.col(hash_col)
+    out = (df.where(h.isNotNull())
+           .select(*keys, (h % m).alias("__j"),
+                   F.expr(f"{hash_col} div {m}").alias("__w")))
+    for s in (1, 2, 4, 8, 16, 32):
+        out = out.withColumn("__w", F.expr(f"__w | (__w >> {s})"))
+    rho = (F.when(F.col("__w") == 0, F.lit(Q))
+           .otherwise(F.lit(Q) - F.expr("bit_count(__w)")))
+    return out.select(*keys, "__j", rho.cast("int").alias("__rho"))
+
+
 def hll_ndv_native(df: DataFrame, hash_col: str, p: int = 12,
                    keys: Sequence[str] = (),
                    alias: str = "ndv_est") -> DataFrame:
@@ -280,14 +302,8 @@ def hll_ndv_native(df: DataFrame, hash_col: str, p: int = 12,
     Q = H64_BITS - p + 1
     # same evaluation order as HLL.estimate() and oracles.hll_ndv_sql
     C = _alpha(m) * m * m * float(1 << Q)
-    h = F.col(hash_col)
-    j = (h % m).alias("__j")
-    wrem = F.expr(f"{hash_col} div {m}")
-    rho = (F.when(wrem == 0, F.lit(Q))
-           .otherwise(F.lit(Q) - F.length(F.bin(wrem))))
     regs = (
-        df.where(h.isNotNull())
-        .select(*keys, j, rho.cast("int").alias("__rho"))
+        _hll_register_rows(df, hash_col, keys, m, Q)
         .groupBy(*keys, "__j")
         .agg(F.max("__rho").alias("__r"))
     )
@@ -312,19 +328,14 @@ def hll_agg_native(df: DataFrame, hash_col: str, p: int = 12,
                    keys: Sequence[str] = ()) -> DataFrame:
     """``keys..., sketch binary, n long`` — HLL over a pre-hashed int64
     column (see core.hashing.spark_h64), registers computed as JVM
-    expressions: ``j = h % m``, ``rho = Q - length(bin(h div m))``
-    (h div m == 0 -> Q), aggregated with a native partial-max."""
+    expressions: ``j = h % m``, ``rho = Q - bit_length(h div m)``
+    (h div m == 0 -> Q, see _hll_register_rows), aggregated with a
+    native partial-max."""
     keys = list(keys)
     m = 1 << p
     Q = H64_BITS - p + 1
-    h = F.col(hash_col)
-    j = (h % m).alias("__j")
-    wrem = F.expr(f"{hash_col} div {m}")  # integer div — h has 60 bits
-    rho = (F.when(wrem == 0, F.lit(Q))
-           .otherwise(F.lit(Q) - F.length(F.bin(wrem))))
     buckets = (
-        df.where(h.isNotNull())
-        .select(*keys, j, rho.cast("int").alias("__rho"))
+        _hll_register_rows(df, hash_col, keys, m, Q)
         .groupBy(*keys, "__j")
         .agg(F.max("__rho").alias("__r"), F.count(F.lit(1)).alias("__rows"))
     )

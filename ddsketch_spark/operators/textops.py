@@ -186,14 +186,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        sh: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for candidate ``(a, b)`` pairs:
     ``a, b, jacc`` (rounded to 6 dp). Distinct-shingle join — candidates
     only, never the full cross product. (Measured: checkpointing the
     distinct-shingle relation to share it across its three subtrees is a
     net LOSS here — materialization + broken pipelining costs more than
-    the recompute.)"""
-    sh = shingle_rows(df, id_col, text_col).distinct()
+    the recompute.)
+
+    ``sh``: optionally a precomputed DISTINCT ``(id, sh)`` relation —
+    callers that can derive it more cheaply than the full explode+distinct
+    (e.g. a corpus of known copies of a smaller table, where the distinct
+    shingles are the small table's with ids remapped) supply it here and
+    ``df``/``text_col`` are ignored."""
+    if sh is None:
+        sh = shingle_rows(df, id_col, text_col).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(sh.withColumnRenamed("id", "a"), on="a")

@@ -1203,10 +1203,21 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
+    from ddsketch_spark.operators.textops import shingle_rows
+
     pairs = (minhash_lsh_pairs(None, "id", "t",
                                bands=_mirrored_minhash_bands(spark, sf_dir))
              .select("a", "b"))
-    return ngram_jaccard_pairs(mirrored_docs(spark, sf_dir), pairs, "id", "t")
+    # like _mirrored_minhash_bands: a mirror copy's distinct shingle set
+    # is the original's, so build it once on the unmirrored table and
+    # explode the ids — halves the explode+distinct under all three
+    # consumers of the shingle relation
+    d = _spread(spark, _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("t")))
+    sh = (shingle_rows(d, "id", "t").distinct()
+          .select(F.explode(F.array(F.col("id"), F.col("id") + MIRROR_OFFSET))
+                  .alias("id"), "sh"))
+    return ngram_jaccard_pairs(None, pairs, "id", "t", sh=sh)
 
 
 def dedup_clusters(spark, sf_dir):
