@@ -107,6 +107,10 @@ def register_sql_functions(spark: SparkSession) -> None:
             sk = DDSketch.from_bytes(bytes(b))
             e = float(sk.quantile(float(qq)))
             a = sk.alpha
+            if e != e:
+                # empty sketch (r5 ADVICE): no zero-width claim around NaN
+                los.append(None); ests.append(None); his.append(None)
+                continue
             if e > 0:
                 lo, hi = e / (1.0 + a), e / (1.0 - a)
             elif e < 0:

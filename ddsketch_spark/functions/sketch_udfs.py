@@ -251,6 +251,11 @@ def sketch_quantile_bounds(col, q) -> Column:
         out = []
         for e in s.quantile(qs):
             e = float(e)
+            if e != e:
+                # empty sketch: no estimate exists — an all-None struct,
+                # never a zero-width [0, 0] claim around NaN (r5 ADVICE)
+                out.append({"lo": None, "est": None, "hi": None})
+                continue
             if e > 0:
                 lo, hi = e / (1.0 + a), e / (1.0 - a)
             elif e < 0:

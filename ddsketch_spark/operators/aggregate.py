@@ -67,6 +67,13 @@ def sketch_partials(
     the north rule). ``n_from_weight=True`` counts lineage by summed
     weight instead — for inputs where one row REPRESENTS many (the
     precombined duplicate-collapsed path), keeping n = original rows.
+    NOTE (r5 ADVICE): with an explicit ``weight_col``, the precombined
+    path sums weights JVM-side BEFORE the kernel's positivity check, so
+    zero/negative per-row weights that raise on the plain path are
+    absorbed into the group sum (which only fails if the SUM is <= 0),
+    and n's meaning shifts from rows-seen to summed weight — callers
+    feeding untrusted weights through precombine should validate them
+    up front.
 
     ``fanout=N`` round-robin-repartitions the (already-projected, narrow)
     rows to N tasks first — explicit opt-in for inputs whose split count is

@@ -247,7 +247,10 @@ def compact_sketch_table(sketch_table: DataFrame, boundary,
             f"{coarse}s — otherwise one coarse bucket would straddle "
             f"the tier edge")
     keys = list(keys)
-    cols = [bucket_col] + keys + ["sketch", "n"]
+    # n (lineage row count) is optional, mirroring rollup()'s contract —
+    # a sketch table built without lineage compacts fine (r5 ADVICE)
+    cols = ([bucket_col] + keys + ["sketch"]
+            + (["n"] if "n" in sketch_table.columns else []))
     old = sketch_table.where(F.col(bucket_col) < e_b).select(*cols)
     recent = sketch_table.where(F.col(bucket_col) >= e_b).select(*cols)
     compacted = rollup(old, coarse, fine, keys, bucket_col,

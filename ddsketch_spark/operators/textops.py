@@ -627,10 +627,16 @@ def ngram_containment(docs: DataFrame, probes: DataFrame,
     directly (non-matching shingles — almost all of them — die in the
     map stage); only MATCHED (doc, probe, shingle) rows reach the
     count-distinct shuffle, which for real contamination rates is
-    vanishingly small next to the scan. ``threshold`` filters the output
-    to suspect pairs (containment >= threshold). ``unit='token'`` uses
-    space-token k-grams (the conventional published decontamination
-    setting, e.g. 8-13 token overlap) instead of character shingles."""
+    vanishingly small next to the scan. (Caveat, r5 ADVICE: a document
+    that repeats one probe-matching shingle many times amplifies the
+    join OUTPUT rows before aggregation — correctness holds, and the
+    count-distinct's map-side partial aggregation dedupes the repeats
+    within each task before the shuffle, but highly repetitive text
+    such as boilerplate/spam inflates the in-task join output itself.)
+    ``threshold`` filters the output to suspect pairs (containment >=
+    threshold). ``unit='token'`` uses space-token k-grams (the
+    conventional published decontamination setting, e.g. 8-13 token
+    overlap) instead of character shingles."""
     if unit not in ("char", "token"):
         raise ValueError("unit must be 'char' or 'token'")
     mk = shingle_rows if unit == "char" else token_shingle_rows

@@ -260,9 +260,35 @@ _OWNED_STORE_PATHS: list[str] = []
 _SCRATCH_MAX_AGE_S = 6 * 3600
 
 
+_SCRATCH_PIDFILE = "._owner_pid"   # leading dot: invisible to parquet listing
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        _os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True    # e.g. EPERM: exists but owned elsewhere — keep it
+    return True
+
+
+def _mark_scratch_owner(path: str) -> None:
+    """Write the owning pid into the scratch dir so the stale sweep can
+    tell 'crashed long ago' from 'slow but alive' (r5 ADVICE: mtime alone
+    raced against a paused live session's stored table)."""
+    try:
+        with open(_os.path.join(path, _SCRATCH_PIDFILE), "w") as f:
+            f.write(str(_os.getpid()))
+    except OSError:
+        pass
+
+
 def _sweep_stale_scratch() -> None:
     """Delete scratch dirs older than _SCRATCH_MAX_AGE_S (mtime of the
-    dir entry). Fresh dirs of other live processes are untouched."""
+    dir entry) whose recorded owner pid is no longer alive. Fresh dirs,
+    and old dirs whose owner process still exists (a paused session with
+    a lazy plan over its stored table), are untouched."""
     import shutil
     import time as _time
 
@@ -273,8 +299,16 @@ def _sweep_stale_scratch() -> None:
     cutoff = _time.time() - _SCRATCH_MAX_AGE_S
     for e in entries:
         try:
-            if e.is_dir() and e.stat().st_mtime < cutoff:
-                shutil.rmtree(e.path, ignore_errors=True)
+            if not (e.is_dir() and e.stat().st_mtime < cutoff):
+                continue
+            pidfile = _os.path.join(e.path, _SCRATCH_PIDFILE)
+            try:
+                with open(pidfile) as f:
+                    if _pid_alive(int(f.read().strip())):
+                        continue
+            except (OSError, ValueError):
+                pass    # no/garbled pidfile: age alone decides (pre-r6 dir)
+            shutil.rmtree(e.path, ignore_errors=True)
         except OSError:
             continue
 
@@ -308,6 +342,7 @@ def dd_sketch_store_roundtrip(spark, sf_dir):
     path = f"{SKETCH_STORE_ROOT}/{_uuid_mod.uuid4().hex[:12]}"
     _OWNED_STORE_PATHS.append(path)
     write_table(fine, path)
+    _mark_scratch_owner(path)
     stored = read_table(spark, path)
     qs = [0.9]
     return merge_sketches_extract(

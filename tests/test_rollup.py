@@ -193,6 +193,23 @@ def test_partitioned_store_prunes_and_matches(spark, events, tmp_path):
     assert m and "pbucket" in m.group(1), plan[:2000]
 
 
+def test_compact_without_lineage_n(spark, events):
+    """compact_sketch_table must accept a sketch table WITHOUT the
+    optional lineage n column, mirroring rollup()'s contract (r5
+    ADVICE: it previously hard-selected 'n' and raised)."""
+    from ddsketch_spark.operators.rollup import compact_sketch_table
+
+    df, _ = events
+    hourly = build_sketch_table(df, "ts", "v", ALPHA, NB, HOUR,
+                                keys=["etype"]).drop("n")
+    boundary = T0 + dt.timedelta(days=6)
+    tiered = compact_sketch_table(hourly, boundary, HOUR, DAY,
+                                  keys=["etype"])
+    assert "n" not in tiered.columns
+    assert set(r["gran"] for r in
+               tiered.select("gran").distinct().collect()) == {HOUR, DAY}
+
+
 def test_tiered_compaction_and_cross_boundary_range(spark, events):
     """Tiered retention: buckets older than the boundary roll to daily,
     recent stay hourly; a range query straddling the tier edge merges

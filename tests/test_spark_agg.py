@@ -532,3 +532,50 @@ def test_sketch_quantile_bounds_envelope(spark):
     for b, ex in zip(crow["b"], exact):
         assert b["lo"] <= ex <= b["hi"]
         assert (b["hi"] - b["lo"]) / b["est"] > 0.0201   # wider than fine alpha
+
+
+def test_scratch_sweep_spares_live_owner():
+    """The stale-scratch sweep must keep an old dir whose recorded owner
+    pid is still alive (a paused session's stored table) and reclaim one
+    whose owner is gone (r5 ADVICE: mtime alone raced live sessions)."""
+    import os
+    import time
+
+    from ddsketch_spark import queries as q
+
+    os.makedirs(q.SKETCH_STORE_ROOT, exist_ok=True)
+    old = time.time() - q._SCRATCH_MAX_AGE_S - 60
+    live = os.path.join(q.SKETCH_STORE_ROOT, "test_live_owner")
+    dead = os.path.join(q.SKETCH_STORE_ROOT, "test_dead_owner")
+    for path, pid in ((live, os.getpid()), (dead, 2 ** 22 + 12345)):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, q._SCRATCH_PIDFILE), "w") as f:
+            f.write(str(pid))
+        os.utime(path, (old, old))
+    try:
+        q._sweep_stale_scratch()
+        assert os.path.isdir(live), "live owner's dir was reclaimed"
+        assert not os.path.exists(dead), "dead owner's dir survived"
+    finally:
+        import shutil
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(dead, ignore_errors=True)
+
+
+def test_sketch_quantile_bounds_null_and_zero_cases(spark):
+    """NULL sketch -> NULL envelope array; an all-zero-bucket sketch has
+    the documented exact (0, 0, 0) envelope. (An EMPTY sketch cannot
+    reach the UDF at all — both the wire and text decoders reject
+    count 0, matching the reference; the NaN guard in bounds() is
+    defense-in-depth for future encodings, r5 ADVICE.)"""
+    from ddsketch_spark.functions.sketch_udfs import sketch_quantile_bounds
+
+    zeros = DDSketch(0.01, 2048).update([0.0, 0.0])
+    df = spark.createDataFrame(
+        [(bytearray(zeros.to_bytes()),), (None,)], "sketch binary")
+    rows = df.select(
+        sketch_quantile_bounds(F.col("sketch"), [0.5, 0.9]).alias("b")
+    ).collect()
+    got = {tuple(b.asDict().values()) for b in rows[0]["b"]}
+    assert got == {(0.0, 0.0, 0.0)}
+    assert rows[1]["b"] is None
