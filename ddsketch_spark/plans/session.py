@@ -32,6 +32,11 @@ def get_spark(app_name: str = "ddsketch_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # results scale with SF (dedup_minhash_pairs collects ~190 MB of
+        # candidate pairs at sf1.0, linear beyond); the 1g default would
+        # abort either collect path at a few x that scale
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "4g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
