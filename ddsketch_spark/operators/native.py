@@ -408,22 +408,27 @@ def cms_freq_native(df: DataFrame, hash_col: str, probe_hashes,
     depth x width table. Bit-identical to building the sketch and probing
     it (exact integer sums, order-free). Build the binary sketch with
     :func:`cms_agg_native` when the summary is stored or merged."""
-    w = (F.coalesce(F.col(weight_col).cast("long"), F.lit(1)) if weight_col
-         else F.lit(1).cast("long"))
+    # each aggregate is ONE SQL string -> one py4j call: the Column-composed
+    # form (sum/when/coalesce/lit per probe x depth) cost ~2,500 py4j
+    # round-trips of plan-construction latency per query (~250 ms, measured
+    # r6) for an identical analyzed plan
+    w_sql = (f"coalesce(CAST({weight_col} AS BIGINT), 1)" if weight_col
+             else "CAST(1 AS BIGINT)")
     h1s = f"({hash_col} % {1 << H1_BITS})"
     h2s = f"(2 * (({hash_col} div {1 << H1_BITS}) % {1 << (H1_BITS - 1)}) + 1)"
     aggs = []
     for j, ph in enumerate(probe_hashes):
         ppos = _py_probe_positions(int(ph), depth, width)
         for i in range(depth):
-            cond = F.expr(f"(({h1s} + {i} * {h2s}) % {width}) = {ppos[i]}")
-            aggs.append(F.coalesce(
-                F.sum(F.when(cond, w).otherwise(F.lit(0).cast("long"))),
-                F.lit(0).cast("long")).alias(f"__c{j}_{i}"))
+            cond = f"(({h1s} + {i} * {h2s}) % {width}) = {ppos[i]}"
+            aggs.append(F.expr(
+                f"coalesce(sum(CASE WHEN {cond} THEN {w_sql}"
+                f" ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT))"
+                f" AS __c{j}_{i}"))
     wide = df.agg(*aggs)
-    return wide.select(*[
-        F.least(*[F.col(f"__c{j}_{i}") for i in range(depth)])
-        .alias(f"{prefix}{j}")
+    return wide.selectExpr(*[
+        "least(" + ", ".join(f"__c{j}_{i}" for i in range(depth))
+        + f") AS {prefix}{j}"
         for j in range(len(probe_hashes))])
 
 
@@ -444,18 +449,20 @@ def bloom_member_native(df: DataFrame, hash_col: str, probe_hashes,
     h1s = f"({hash_col} % {1 << H1_BITS})"
     h2s = f"(2 * (({hash_col} div {1 << H1_BITS}) % {1 << (H1_BITS - 1)}) + 1)"
     row_pos = [f"(({h1s} + {i} * {h2s}) % {nbits})" for i in range(k)]
+    # one SQL string per aggregate (see cms_freq_native: the Column form
+    # costs thousands of py4j round-trips for the identical plan)
     aggs = []
     for j, ph in enumerate(probe_hashes):
         ppos = _py_probe_positions(int(ph), k, nbits)
         for i, p in enumerate(ppos):
-            cond = F.expr(" OR ".join(f"{rp} = {p}" for rp in row_pos))
-            aggs.append(F.coalesce(
-                F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))),
-                F.lit(0)).alias(f"__b{j}_{i}"))
+            cond = " OR ".join(f"{rp} = {p}" for rp in row_pos)
+            aggs.append(F.expr(
+                f"coalesce(max(CASE WHEN {cond} THEN 1 ELSE 0 END), 0)"
+                f" AS __b{j}_{i}"))
     wide = df.agg(*aggs)
-    return wide.select(*[
-        F.least(*[F.col(f"__b{j}_{i}") for i in range(k)]).cast("boolean")
-        .alias(f"{prefix}{j}")
+    return wide.selectExpr(*[
+        "CAST(least(" + ", ".join(f"__b{j}_{i}" for i in range(k))
+        + f") AS BOOLEAN) AS {prefix}{j}"
         for j in range(len(probe_hashes))])
 
 

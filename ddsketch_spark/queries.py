@@ -1141,6 +1141,7 @@ from ddsketch_spark.operators.textops import (  # noqa: E402
     quality_score_col, hash_sample, rolling_fingerprint_col, simhash,
     simhash_dup_pairs, token_count_col,
 )
+from ddsketch_spark.textconf import LSH_BANDS  # noqa: E402
 
 MIRROR_OFFSET = 1_000_000
 DECON_PROBE_MOD = 101
@@ -1215,35 +1216,75 @@ def dedup_exact_docs(spark, sf_dir):
     return exact_dedup(mirrored_docs(spark, sf_dir), "id", "t")
 
 
-def _mirrored_minhash_bands(spark, sf_dir):
-    """LSH band rows for the MIRRORED corpus, computed from ONE signature
-    pass over the unmirrored table: a mirror copy has identical text,
-    hence bit-identical minhash signature and band rows, so the mirrored
-    bands relation is the original's with the id exploded to
-    {id, id + MIRROR_OFFSET}. Halves the shingle-explode + md5 + 16-way
-    min aggregation (the dominant compute of the dedup pipeline) and
-    replaces the second scan+union with one Generate (guide §1.2: the
-    cheapest pass is the one you can prove you don't need)."""
+def _unmirrored_bands(spark, sf_dir):
+    """LSH band rows for the UNMIRRORED documents table: one signature
+    pass (shingle explode -> md5-h64 -> 16 min aggregations, the dominant
+    compute of the dedup pipeline), no mirror explode."""
     d = _spread(spark, _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.col("text").alias("t")))
-    bands = lsh_bands(minhash_signatures(d, "id", "t"), "id")
-    return bands.select(
-        F.explode(F.array(F.col("id"), F.col("id") + MIRROR_OFFSET))
-        .alias("id"), "band", "bsig")
+    return lsh_bands(minhash_signatures(d, "id", "t"), "id")
+
+
+def _mirrored_pairs(spark, sf_dir):
+    """Candidate-pair relation ``a, b, bands_shared`` for the MIRRORED
+    corpus, computed entirely from buckets over the UNMIRRORED bands.
+
+    A mirror copy has byte-identical text, hence a bit-identical band
+    signature, so every mirrored LSH bucket is exactly the unmirrored
+    bucket {x1..xm} unioned with its mirrors {x1+M..xm+M}. The pairs of
+    that doubled bucket decompose, per band, into (i) the unmirrored
+    bucket's own pairs, (ii) the same pairs with either side mirrored
+    ((a, b+M) and (b, a+M) — MIRROR_OFFSET exceeds every id, so both
+    orderings keep a < b), (iii) the pairs among the mirrors (a+M, b+M),
+    and (iv) each member paired with its own mirror (x, x+M). Summing
+    over bands: every base pair (a, b, k) expands to four pairs with the
+    same k, and every document contributes (c, c+M, LSH_BANDS) because
+    its mirror shares all bands by construction — including docs whose
+    unmirrored bucket is a singleton (dropped by the size>1 filter),
+    which is why (iv) ranges over the whole table, not over bucket
+    members. The bucket groupBy therefore shuffles half the band rows
+    and the pair explode + count aggregation handle ~4x fewer rows,
+    while the output relation is provably identical (pinned by
+    tests/test_textops.py::test_mirrored_pairs_equal_direct and the
+    driver oracle)."""
+    base = minhash_lsh_pairs(None, "id", "t",
+                             bands=_unmirrored_bands(spark, sf_dir))
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    return _mirror_expand_pairs(base, ids, MIRROR_OFFSET)
+
+
+def _mirror_expand_pairs(base, ids, offset):
+    """The expansion step of :func:`_mirrored_pairs`: ``base`` is the
+    unmirrored ``a, b, bands_shared`` relation, ``ids`` a one-column
+    ``id`` relation of every document. Pure Generate + union — no
+    shuffle."""
+    expanded = base.select(
+        F.explode(F.array(
+            F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+            F.struct(F.col("a").alias("a"), (F.col("b") + offset).alias("b")),
+            F.struct(F.col("b").alias("a"), (F.col("a") + offset).alias("b")),
+            F.struct((F.col("a") + offset).alias("a"),
+                     (F.col("b") + offset).alias("b")),
+        )).alias("p"),
+        "bands_shared",
+    ).select("p.a", "p.b", "bands_shared")
+    selfpairs = ids.select(
+        F.col("id").alias("a"),
+        (F.col("id") + offset).alias("b"),
+        F.lit(LSH_BANDS).cast("long").alias("bands_shared"))
+    return expanded.unionAll(selfpairs)
 
 
 def dedup_minhash_pairs(spark, sf_dir):
-    return minhash_lsh_pairs(None, "id", "t",
-                             bands=_mirrored_minhash_bands(spark, sf_dir))
+    return _mirrored_pairs(spark, sf_dir)
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
     from ddsketch_spark.operators.textops import shingle_rows
 
-    pairs = (minhash_lsh_pairs(None, "id", "t",
-                               bands=_mirrored_minhash_bands(spark, sf_dir))
-             .select("a", "b"))
-    # like _mirrored_minhash_bands: a mirror copy's distinct shingle set
+    pairs = _mirrored_pairs(spark, sf_dir).select("a", "b")
+    # like _mirrored_pairs: a mirror copy's distinct shingle set
     # is the original's, so build it once on the unmirrored table and
     # explode the ids — halves the explode+distinct under all three
     # consumers of the shingle relation
@@ -1262,8 +1303,7 @@ def dedup_clusters(spark, sf_dir):
     after pair generation; Spark side is iterative min-label propagation,
     the oracle a recursive CTE over the identical graph."""
     from ddsketch_spark.operators.textops import connected_components
-    pairs = minhash_lsh_pairs(None, "id", "t",
-                              bands=_mirrored_minhash_bands(spark, sf_dir))
+    pairs = _mirrored_pairs(spark, sf_dir)
     return connected_components(pairs).select("id", "comp")
 
 

@@ -94,6 +94,37 @@ def test_minhash_precomputed_bands_equal_direct(spark):
     assert direct == shortcut and len(direct) > 0
 
 
+def test_mirrored_pairs_equal_direct(spark):
+    """The algebraic mirror expansion (buckets built on UNMIRRORED bands,
+    each base pair exploded to its four mirrored images, plus a
+    (c, c+offset, LSH_BANDS) row per document) must produce exactly the
+    pairs of the direct pipeline run over the mirrored corpus — including
+    docs that are near-dups of each other AND singleton docs whose only
+    pair is their own mirror."""
+    from pyspark.sql import functions as F
+
+    from ddsketch_spark.queries import _mirror_expand_pairs
+
+    base = ["a b c d " * 25 + f"doc{i}" for i in range(12)]
+    # two exact dups + distinct tails -> a mix of multi-doc buckets and
+    # singleton buckets
+    texts = base + [base[0], base[3]]
+    ids = list(range(12)) + [50, 51]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "text": texts}))
+    offset = 1000
+    mirrored = df.unionAll(df.select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text"))
+    direct = sorted(map(tuple, minhash_lsh_pairs(mirrored).collect()))
+    base_pairs = minhash_lsh_pairs(df)
+    expanded = _mirror_expand_pairs(
+        base_pairs, df.select(F.col("doc_id").alias("id")), offset)
+    got = sorted(map(tuple, expanded.collect()))
+    assert direct == got and len(direct) > 0
+    # sanity: the direct relation contains both shapes the algebra claims
+    assert any(a == b - offset for a, b, _ in direct)      # self-mirror rows
+    assert any(b < offset for a, b, _ in direct)           # base pairs
+
+
 def test_rolling_fingerprint_numpy_matches_sql(spark):
     """The vectorized Arrow rfp must equal the SQL-mirrorable per-char
     definition (what the DuckDB oracle replays) on edge inputs: empty,
