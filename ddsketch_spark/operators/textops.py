@@ -289,16 +289,22 @@ def langid_col(text_col: str) -> Column:
     """Heuristic language-ID: argmax of per-language stopword occurrence
     counts; ties go to the lexicographically smallest language."""
     padded = f"concat(' ', {text_col}, ' ')"
-    scores = {
-        lang: "(" + " + ".join(_occurrences_sql(padded, w)
-                               for w in LANGID_STOPWORDS[lang]) + ")"
+    scores = [
+        "(" + " + ".join(_occurrences_sql(padded, w)
+                         for w in LANGID_STOPWORDS[lang]) + ")"
         for lang in LANGID_LANGS
-    }
-    mx = "greatest(" + ", ".join(scores[lang] for lang in LANGID_LANGS) + ")"
-    # first-match CASE in sorted language order == lexicographic tie-break
-    whens = " ".join(f"WHEN {scores[lang]} = {mx} THEN '{lang}'"
-                     for lang in LANGID_LANGS)
-    return F.expr(f"CASE {whens} END")
+    ]
+    # array_position(scores, array_max(scores)) = FIRST index holding the
+    # max, i.e. the lexicographically smallest language in sorted order —
+    # identical semantics to the earlier first-match CASE over
+    # greatest(...), but each score expression appears ONCE instead of
+    # once in greatest + once per WHEN (the repeated replace() scans were
+    # not reliably subexpression-eliminated inside CASE branches; measured
+    # 0.20 -> 0.15 s on the langid column at sf0.1, equal output)
+    arr = "array(" + ", ".join(scores) + ")"
+    langs = "array(" + ", ".join(f"'{l}'" for l in LANGID_LANGS) + ")"
+    return F.expr(f"element_at({langs},"
+                  f" CAST(array_position({arr}, array_max({arr})) AS INT))")
 
 
 def sum_cols(cols: list[Column]) -> Column:
@@ -354,9 +360,13 @@ BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 def bpe_token_count_col(text_col: str) -> Column:
     """BPE-ish tokenization count: lowercase word runs, digit runs, and
     single non-alnum marks (a GPT-2-flavored pre-tokenizer simplified to a
-    regex both Java and RE2 interpret identically)."""
-    return F.size(F.regexp_extract_all(
-        F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+    regex both Java and RE2 interpret identically). ``regexp_count``
+    returns the same non-overlapping match count as
+    ``size(regexp_extract_all(...))`` without materializing an array of
+    match strings per document (measured equal output on the corpus +
+    edge inputs, ~20% faster at sf0.1)."""
+    return F.regexp_count(
+        F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long")
 
 
 def _rfp_weights(n: int, cache: dict):

@@ -1259,20 +1259,20 @@ def _mirror_expand_pairs(base, ids, offset):
     unmirrored ``a, b, bands_shared`` relation, ``ids`` a one-column
     ``id`` relation of every document. Pure Generate + union — no
     shuffle."""
-    expanded = base.select(
-        F.explode(F.array(
-            F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
-            F.struct(F.col("a").alias("a"), (F.col("b") + offset).alias("b")),
-            F.struct(F.col("b").alias("a"), (F.col("a") + offset).alias("b")),
-            F.struct((F.col("a") + offset).alias("a"),
-                     (F.col("b") + offset).alias("b")),
-        )).alias("p"),
+    # single SQL strings (inline == explode of the struct array with the
+    # struct fields expanded in place): the Column-composed form cost ~100
+    # py4j round-trips of construction latency per query
+    expanded = base.selectExpr(
+        "inline(array("
+        "struct(a AS a, b AS b),"
+        f" struct(a AS a, b + {offset} AS b),"
+        f" struct(b AS a, a + {offset} AS b),"
+        f" struct(a + {offset} AS a, b + {offset} AS b)))",
         "bands_shared",
-    ).select("p.a", "p.b", "bands_shared")
-    selfpairs = ids.select(
-        F.col("id").alias("a"),
-        (F.col("id") + offset).alias("b"),
-        F.lit(LSH_BANDS).cast("long").alias("bands_shared"))
+    )
+    selfpairs = ids.selectExpr(
+        "id AS a", f"id + {offset} AS b",
+        f"CAST({LSH_BANDS} AS BIGINT) AS bands_shared")
     return expanded.unionAll(selfpairs)
 
 
