@@ -62,6 +62,15 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int,
     ``queries`` is a (small) subset of rows of ``df``; the corpus is
     scanned once.
 
+    NOTE this function is EAGER in ``queries``: the query vectors are
+    collected to the driver at call time (a small Spark job runs before
+    the returned frame is acted on) and ride to executors inside the
+    scoring UDF — sized for the documented small-query-set contract
+    (tens-to-thousands of rows; kBs-to-MBs of matrix). Callers needing a
+    fully lazy plan or a large query side should use
+    :func:`cosine_topk_expr` (the JVM-expression reference shape) or the
+    LSH/IVF variants, which bound the candidate set instead.
+
     Scoring is a vectorized Arrow batch per corpus partition: quantize
     (``floor(float64(x) * SCALE + 0.5)`` — the same two IEEE ops as the
     SQL form), one exact int64 matmul against the collected query matrix,

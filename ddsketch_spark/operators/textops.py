@@ -2,13 +2,18 @@
 training-data-pipeline layer (exact dedup, MinHash+LSH, SimHash, n-gram
 Jaccard, language-ID, quality scoring, token counts, fingerprints).
 
-Everything here is built from JVM-side ``pyspark.sql.functions`` — no
-Python UDFs — so the hot path stays in whole-stage codegen and every
-aggregation gets native map-side partial aggregation. All outputs are
-deterministic integers/strings (or doubles produced by a fixed float
-expression), mirrored exactly by the DuckDB oracle generators in
-:mod:`ddsketch_spark.oracles` via the shared constants in
-:mod:`ddsketch_spark.textconf`.
+Everything here is built from JVM-side ``pyspark.sql.functions`` — with
+ONE exception, the vectorized rolling-fingerprint batch ``_rfp_np``
+(an Arrow pandas UDF: the SQL fold is a higher-order function Catalyst
+interprets per character; the numpy dot computes the identical integers
+batch-at-a-time, see :func:`rolling_fingerprint_col`) — so the hot path
+stays in whole-stage codegen and every aggregation gets native map-side
+partial aggregation. All outputs are deterministic integers/strings (or
+doubles produced by a fixed float expression), mirrored exactly by the
+DuckDB oracle generators in :mod:`ddsketch_spark.oracles` via the
+shared constants in :mod:`ddsketch_spark.textconf` (the fingerprint
+diverges from its SQL mirror ONLY where the mirror overflows BIGINT —
+documented on ``_rfp_np``).
 
 Scale notes (100 TB):
 - shingle/token explodes multiply rows but feed straight into partial-agg
@@ -384,9 +389,17 @@ def _rfp_weights(n: int, cache: dict):
 def _rfp_np(texts: "pd.Series") -> "pd.Series":
     """Vectorized rolling fingerprint: codepoints via utf-32 decode into
     int64, one dot product against the cached position-weight vector per
-    distinct length. Exact integer math (max |term| < 2^52, sum < 2^61 —
-    no wraparound on either engine), identical to the SQL-mirrorable
-    definition below for every string including empty (0) and null."""
+    distinct length. Exact integer math: each term is < 2^52 (codepoint
+    < 2^21, weight < 2^31), and when ``len * max_codepoint`` bounds the
+    whole dot under 2^63 it is ONE int64 matmul; longer/higher-codepoint
+    documents (~4k+ astral-plane chars — where the int64 dot would wrap
+    SILENTLY) accumulate exact Python ints over 2048-element chunks
+    (each chunk dot < 2^63, so never wraps). Identical to the
+    SQL-mirrorable definition below for every input the SQL form can
+    evaluate; on inputs where the SQL fold's un-modded accumulator would
+    overflow BIGINT (ANSI error on both engines), this returns the exact
+    mathematical value instead — strictly more tolerant, pinned by
+    tests/test_textops.py::test_rfp_numpy_exact_on_overflow_risk."""
     import numpy as np
     import pandas as pd
 
@@ -400,8 +413,18 @@ def _rfp_np(texts: "pd.Series") -> "pd.Series":
             out.append(0)
         else:
             cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-            out.append(int(cp.astype(np.int64) @ _rfp_weights(len(cp), cache))
-                       % P61)
+            cpi = cp.astype(np.int64)
+            w = _rfp_weights(len(cpi), cache)
+            # short-circuit on the theoretical max codepoint (0x10FFFF)
+            # so documents under ~3.9k chars skip the max() pass entirely
+            n = len(cpi)
+            if n * 0x110000 < (1 << 32) or n * int(cpi.max()) < (1 << 32):
+                acc = int(cpi @ w)
+            else:
+                acc = 0
+                for i in range(0, len(cpi), 2048):
+                    acc += int(cpi[i:i + 2048] @ w[i:i + 2048])
+            out.append(acc % P61)
     return pd.Series(out, dtype="object" if None in out else "int64")
 
 

@@ -106,13 +106,20 @@ class FastCollectDataFrame(_ClassicDataFrame):
     """Classic DataFrame whose ``collect()`` uses Arrow for simple schemas."""
 
     def collect(self):  # type: ignore[override]
+        # the stock-path calls live OUTSIDE the try: a failure inside
+        # super().collect() (maxResultSize, task failure) must propagate,
+        # not trigger a second full execution of the failing query
         try:
-            if not _fast_schema_ok(self.schema):
-                with _gc_paused():
-                    return super().collect()
+            fast = _fast_schema_ok(self.schema)
+        except Exception:
+            fast = False   # let the stock path surface the analysis error
+        if not fast:
+            with _gc_paused():
+                return super().collect()
+        try:
             tbl = self.toArrow()
         except Exception:
-            # any analysis/transfer hiccup: the stock path is the contract
+            # Arrow transfer hiccup: the stock path is the contract
             with _gc_paused():
                 return super().collect()
         names = list(tbl.column_names)

@@ -98,3 +98,30 @@ def test_queries_are_wrapped(spark):
     from ddsketch_spark.queries import QUERIES
     df = QUERIES["dd_info_price"](spark, "/root/testdata/sf0.001")
     assert isinstance(df, FastCollectDataFrame)
+
+
+def test_failing_stock_collect_runs_once(spark, monkeypatch):
+    """A non-fast-schema query whose stock collect FAILS must fail once:
+    the fallback branch lives outside the try so the exception propagates
+    instead of triggering a second full execution of the failing plan."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    calls = {"n": 0}
+    orig = ClassicDF.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        raise RuntimeError("boom")
+
+    # binary column -> non-fast schema -> stock path
+    df = fast_collect(spark.range(1).select(
+        F.col("id").cast("string").cast("binary").alias("b")))
+    assert not _fast_schema_ok(df.schema)
+    monkeypatch.setattr(ClassicDF, "collect", counting_collect)
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="boom"):
+            df.collect()
+    finally:
+        monkeypatch.setattr(ClassicDF, "collect", orig)
+    assert calls["n"] == 1

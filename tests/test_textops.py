@@ -145,6 +145,35 @@ def test_rolling_fingerprint_numpy_matches_sql(spark):
     assert got == want
 
 
+def test_rfp_numpy_exact_on_overflow_risk(spark):
+    """Documents long/high-codepoint enough that the un-modded int64 dot
+    would wrap (the SQL fold's accumulator overflows BIGINT there — ANSI
+    error on both engines) must return the exact mathematical value from
+    the chunked big-int path, and the fast int64 path must agree with a
+    pure-Python reference on inputs near the fast/chunked boundary."""
+    from ddsketch_spark.operators.textops import rolling_fingerprint_col
+
+    P61 = (1 << 61) - 1
+
+    def ref(s):
+        acc = 0
+        for i, ch in enumerate(s, start=1):
+            acc += ord(ch) * (((i * 2654435761) % (1 << 31)) | 1)
+        return acc % P61
+
+    texts = [
+        "\U0010FFFF" * 6000,          # astral plane: int64 dot would wrap
+        "\U0001F600" * 5000,          # emoji-dense long doc
+        "你好" * 3000,                 # CJK, chunk-boundary adjacent
+        "a" * 10000,                   # long ascii: stays on the fast path
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    got = {r["doc_id"]: r["rfp"]
+           for r in rolling_fingerprint_col(df).collect()}
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
+
+
 def test_quality_translate_matches_regexp(spark):
     """quality_score_col's translate-based class counts must equal the
     regex form for arbitrary text (incl. non-ascii and digits)."""
